@@ -1,0 +1,142 @@
+"""Pair potentials / particle models.
+
+The reference hard-codes one model: truncated (unshifted) Lennard-Jones 12-6
+with cutoff rc = 2.5 inlined into its kernels (V2 kernel.cu:335-346, host
+reference kernel.cu:452-470, V1 subsweep.h:90-103).  mcjax makes the model a
+pluggable pure function of squared distance and adds the hard-core family
+(hard disks / hard spheres — the BASELINE.json headline workload), soft
+spheres, and WCA.
+
+Every potential is a frozen (hashable) dataclass so it can be a static jit
+argument; all evaluation is elementwise on squared distances, which keeps the
+hot path on the VPU with no transcendentals for the hard family.
+
+API: ``pair_energy(r2)`` (finite part, zero beyond cutoff) and
+``overlap(r2)`` (True where the configuration is forbidden).  The Metropolis
+rule is then: reject on any new overlap; otherwise accept with
+min(1, exp(-beta dE)) on the finite part.  Keeping the hard core as a boolean
+instead of an infinite energy avoids inf-inf NaNs under vectorized masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol, runtime_checkable
+
+import jax.numpy as jnp
+
+
+@runtime_checkable
+class Potential(Protocol):
+    """Structural interface all models satisfy."""
+
+    r_cut: float
+    has_energy: bool  # False for pure hard-core models (skip exp in accept)
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray: ...
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray: ...
+
+
+def _safe_inv(r2: jnp.ndarray) -> jnp.ndarray:
+    """1/r2 guarded against the masked-garbage r2=0 entries."""
+    return 1.0 / jnp.maximum(r2, 1e-12)
+
+
+@dataclasses.dataclass(frozen=True)
+class LennardJones:
+    """Truncated LJ 12-6: 4 eps ((s/r)^12 - (s/r)^6) for r <= r_cut.
+
+    ``shift=False`` reproduces the reference's bare truncation
+    (kernel.cu:335-346 applies no tail shift); ``shift=True`` subtracts the
+    cutoff value so the potential is continuous.
+    """
+
+    epsilon: float = 1.0
+    sigma: float = 1.0
+    r_cut: float = 2.5
+    shift: bool = False
+    has_energy: bool = dataclasses.field(default=True, init=False)
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
+        inv6 = inv2 * inv2 * inv2
+        e = 4.0 * self.epsilon * (inv6 * inv6 - inv6)
+        if self.shift:
+            s6 = (self.sigma / self.r_cut) ** 6
+            e = e - 4.0 * self.epsilon * (s6 * s6 - s6)
+        return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(r2.shape, jnp.bool_)
+
+
+@dataclasses.dataclass(frozen=True)
+class HardSphere:
+    """Hard disks (2D) / hard spheres (3D): forbidden if r < diameter.
+
+    Pure excluded volume — no energy scale, acceptance is overlap-free-ness.
+    This is the BASELINE.json north-star model (1M hard disks).
+    """
+
+    diameter: float = 1.0
+    has_energy: bool = dataclasses.field(default=False, init=False)
+
+    @property
+    def r_cut(self) -> float:
+        return self.diameter
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(r2.shape, jnp.float32)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return r2 < self.diameter * self.diameter
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftSphere:
+    """Inverse-power repulsion eps (sigma/r)^n, truncated at r_cut."""
+
+    epsilon: float = 1.0
+    sigma: float = 1.0
+    exponent: int = 12
+    r_cut: float = 2.5
+    has_energy: bool = dataclasses.field(default=True, init=False)
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
+        e = self.epsilon * inv2 ** (self.exponent / 2.0)
+        return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(r2.shape, jnp.bool_)
+
+
+@dataclasses.dataclass(frozen=True)
+class WCA:
+    """Weeks-Chandler-Andersen: LJ truncated at 2^(1/6) sigma, shifted by eps."""
+
+    epsilon: float = 1.0
+    sigma: float = 1.0
+    has_energy: bool = dataclasses.field(default=True, init=False)
+
+    @property
+    def r_cut(self) -> float:
+        return 2.0 ** (1.0 / 6.0) * self.sigma
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
+        inv6 = inv2 * inv2 * inv2
+        e = 4.0 * self.epsilon * (inv6 * inv6 - inv6) + self.epsilon
+        return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(r2.shape, jnp.bool_)
+
+
+def pair_interaction(pot: Potential, r2: jnp.ndarray,
+                     valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked (energy, overlap) terms for an array of squared distances."""
+    e = jnp.where(valid, pot.pair_energy(r2), 0.0)
+    ov = jnp.logical_and(valid, pot.overlap(r2))
+    return e, ov

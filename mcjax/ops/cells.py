@@ -1,0 +1,277 @@
+"""Cell-list machinery on color-blocked slabs.
+
+TPU-native replacements for the reference's cell-list components
+(SURVEY.md §2 C2-C4, C7, C11-helpers):
+
+* ``lattice_positions``   <- ``init_r`` (kernel.cu:78-89)
+* ``bin_particles``       <- ``assign`` (kernel.cu:92-150); vectorized
+  sort-based binning with an explicit capacity check instead of the
+  reference's unchecked slab writes (kernel.cu:137-145, SURVEY.md Q7)
+* ``neighbor_stack``      <- ``make_nl`` + the shared-memory 27-cell gather
+  (kernel.cu:46-75, 270-279); with color-blocked slabs the static neighbor
+  table disappears entirely — every neighbor is a ±1 shifted read of another
+  color block (``jnp.roll`` single-chip, halo ``ppermute`` on a mesh)
+* ``shift_rebin``         <- ``shiftCells`` (CUDA-Parallel-MC/.../shiftCells.h:23-112);
+  the random grid shift that restores ergodicity becomes "shift all particle
+  coordinates by -d along one axis, then merge each cell's slab with its
+  donor neighbor's slab" — a masked two-slab merge, trivially parallel over
+  all cells and all colors at once (the reference version is a single CUDA
+  block and cannot scale past 1024 cells)
+* ``unbin``               <- ``disk_to_r`` (kernel.cu:497-507)
+
+Cell indexing convention: coordinate x_k in [-L/2, L/2); cell index
+c_k = floor((x_k + L/2)/w); parity bit o_k = c_k & 1; block index b_k = c_k >> 1;
+color id = sum_k o_k << k. State arrays are [color, b_0, ..., b_{dim-1}, nmax, dim]
+with spatial axis k of the array matching coordinate component k.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcjax.core.config import SimConfig
+from mcjax.core.geometry import wrap_into_box
+
+# A shift function applies a static per-axis cell shift to a color block
+# (axes 0..dim-1 spatial). Single-chip default is jnp.roll; the mesh layer
+# substitutes a halo-exchange version (mcjax.parallel.mesh.halo_shift_fn).
+ShiftFn = Callable[[jax.Array, Sequence[int]], jax.Array]
+
+
+def roll_shift_fn(block: jax.Array, shifts: Sequence[int]) -> jax.Array:
+    """Read block at cell offset ``shifts``: out[b] = block[b + shifts] (PBC)."""
+    for ax, s in enumerate(shifts):
+        if s:
+            block = jnp.roll(block, -s, axis=ax)
+    return block
+
+
+def color_bits(color: int, dim: int) -> tuple[int, ...]:
+    return tuple((color >> k) & 1 for k in range(dim))
+
+
+def neighbor_offsets(dim: int, include_center: bool = False) -> list[tuple[int, ...]]:
+    """The 3^dim cell offsets (reference neighbor table order is its own raster,
+    kernel.cu:56-71; ours is lexicographic over (-1,0,1)^dim)."""
+    offs = list(itertools.product((-1, 0, 1), repeat=dim))
+    if not include_center:
+        offs = [o for o in offs if any(o)]
+    return offs
+
+
+def neighbor_plan(dim: int, color: int,
+                  include_center: bool = False) -> list[tuple[int, tuple[int, ...]]]:
+    """Static plan: for each neighbor offset of a color-``color`` cell, which
+    color block to read and at what block shift.
+
+    For active cell (o, b) and offset d: t_k = o_k + d_k; source color bit
+    o'_k = t_k & 1; block shift s_k = t_k >> 1 (floor). Every non-zero offset
+    lands in a *different* color, so neighbor blocks are frozen during a
+    color sub-sweep — the checkerboard guarantee (pptx slides 7-8) by
+    construction.
+    """
+    o = color_bits(color, dim)
+    plan = []
+    for off in neighbor_offsets(dim, include_center):
+        t = [o[k] + off[k] for k in range(dim)]
+        src_color = sum((t[k] & 1) << k for k in range(dim))
+        shifts = tuple(t[k] >> 1 for k in range(dim))
+        plan.append((src_color, shifts))
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def lattice_positions(cfg: SimConfig) -> jax.Array:
+    """Uniform cubic/square lattice, the reference's ``init_r`` placement:
+    r_k(i) = L/2 (1 - (2 i_k + 1)/m) with m = ceil(N^(1/dim)) (kernel.cu:85-87).
+    """
+    m = int(np.ceil(cfg.n_atoms ** (1.0 / cfg.dim) - 1e-9))
+    idx = np.arange(cfg.n_atoms)
+    coords = []
+    for k in range(cfg.dim):
+        ik = (idx // m**k) % m
+        coords.append(cfg.box_length / 2.0 * (1.0 - (2.0 * ik + 1.0) / m))
+    return jnp.asarray(np.stack(coords, axis=-1), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Binning
+# ---------------------------------------------------------------------------
+
+def cell_coords(cfg: SimConfig, positions: jax.Array) -> jax.Array:
+    """Integer cell index per axis, [N, dim], for coords in [-L/2, L/2)."""
+    w = cfg.cell_width
+    c = jnp.floor((positions + cfg.box_length / 2.0) / w).astype(jnp.int32)
+    return jnp.clip(c, 0, cfg.cells_per_side - 1)
+
+
+def _flat_slot(cfg: SimConfig, c: jax.Array) -> jax.Array:
+    """Flatten (color, block) of per-axis cell indices c [N, dim] into one id
+    laid out exactly like pos.reshape(ncolors * cells_per_color, ...)."""
+    o = c & 1
+    b = c >> 1
+    color = jnp.zeros(c.shape[:-1], jnp.int32)
+    blk = jnp.zeros(c.shape[:-1], jnp.int32)
+    for k in range(cfg.dim):
+        color = color + (o[..., k] << k)
+        blk = blk * cfg.half_cps + b[..., k]  # row-major over spatial axes
+    return color * cfg.cells_per_color + blk
+
+
+def bin_particles(cfg: SimConfig, positions: jax.Array
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter [N, dim] positions into color-blocked slabs.
+
+    Replaces the reference ``assign`` kernel's O(cells x N) race-free scan
+    (kernel.cu:130-146) with a sort + ranked scatter: O(N log N), fully
+    vectorized, and capacity-checked (overflowing particles are dropped and
+    flagged instead of silently corrupting memory — SURVEY.md Q7).
+
+    Returns:
+      pos [ncolors, *bs, nmax, dim], occ [ncolors, *bs], overflow bool.
+    """
+    n = positions.shape[0]
+    positions = wrap_into_box(positions, cfg.box_length)
+    g = _flat_slot(cfg, cell_coords(cfg, positions))
+    n_slots = cfg.n_colors * cfg.cells_per_color
+
+    order = jnp.argsort(g, stable=True)
+    g_sorted = g[order]
+    pos_sorted = positions[order]
+    first = jnp.searchsorted(g_sorted, g_sorted, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+
+    slabs = jnp.zeros((n_slots, cfg.nmax, cfg.dim), jnp.float32)
+    slabs = slabs.at[g_sorted, rank].set(pos_sorted, mode="drop")
+    occ = jnp.zeros((n_slots,), jnp.int32).at[g].add(1)
+    overflow = jnp.any(occ > cfg.nmax)
+    occ = jnp.minimum(occ, cfg.nmax)
+
+    pos = slabs.reshape((cfg.n_colors, *cfg.block_shape, cfg.nmax, cfg.dim))
+    occ = occ.reshape((cfg.n_colors, *cfg.block_shape))
+    return pos, occ, overflow
+
+
+def unbin(cfg: SimConfig, pos: jax.Array, occ: jax.Array) -> jax.Array:
+    """Flatten slabs back to [n_atoms, dim] (deterministic slot order).
+
+    Inverse of ``bin_particles``; the reference analogue is ``disk_to_r``
+    (kernel.cu:497-507). Requires sum(occ) == cfg.n_atoms.
+    """
+    flat_pos = pos.reshape((-1, cfg.nmax, cfg.dim)).reshape((-1, cfg.dim))
+    valid = (jnp.arange(cfg.nmax)[None, :]
+             < occ.reshape((-1,))[:, None]).reshape((-1,))
+    idx = jnp.argsort(~valid, stable=True)[: cfg.n_atoms]
+    return flat_pos[idx]
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood access (replaces make_nl + shared-memory gather)
+# ---------------------------------------------------------------------------
+
+def neighbor_stack(cfg: SimConfig, pos: jax.Array, occ: jax.Array, color: int,
+                   shift_fn: ShiftFn = roll_shift_fn
+                   ) -> tuple[jax.Array, jax.Array]:
+    """All 3^dim - 1 neighbor slabs of every active cell of ``color``.
+
+    Returns:
+      nbr_pos [K, *bs, nmax, dim], nbr_occ [K, *bs] with K = 3^dim - 1.
+    Frozen during the color's sub-sweep: every entry comes from a different
+    color block (see neighbor_plan). This replaces the reference's static
+    neighbor table + per-block shared-memory gather (kernel.cu:46-75, 270-279).
+    """
+    plan = neighbor_plan(cfg.dim, color, include_center=False)
+    ps, os_ = [], []
+    for src_color, shifts in plan:
+        ps.append(shift_fn(pos[src_color], shifts))
+        os_.append(shift_fn(occ[src_color], shifts))
+    return jnp.stack(ps, axis=0), jnp.stack(os_, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Grid shift (ergodicity restoration)
+# ---------------------------------------------------------------------------
+
+def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
+                      occ: jax.Array, d: jax.Array,
+                      shift_fn: ShiftFn = roll_shift_fn
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Grid shift along a *static* axis by traced distance d in (-w/2, w/2].
+
+    Semantics proven equivalent to the reference ``shiftCells``
+    (shiftCells.h:23-112): shifting the cell grid by +d along axis f is the
+    same as shifting every particle coordinate by -d (PBC-wrapped) and
+    re-binning. Since |d| <= w/2 < w, a particle either stays in its cell or
+    moves to the adjacent cell opposite the shift, so each cell's new slab is
+    a masked merge of its own slab and one donor neighbor's slab.
+    """
+    w = cfg.cell_width
+    dim = cfg.dim
+    # Shift all coordinates: x_axis -> wrap(x_axis - d).
+    delta = jnp.zeros((dim,), pos.dtype).at[axis].set(d)
+    newpos = wrap_into_box(pos - delta, cfg.box_length)
+
+    def merge_for_color(color: int, donor_dir: int):
+        o = color_bits(color, dim)
+        t = o[axis] + donor_dir
+        src_color = color ^ (1 << axis)  # parity flips along `axis`
+        shifts = [0] * dim
+        shifts[axis] = t >> 1
+        own_p, own_o = newpos[color], occ[color]
+        don_p = shift_fn(newpos[src_color], shifts)
+        don_o = shift_fn(occ[src_color], shifts)
+
+        cand_p = jnp.concatenate([own_p, don_p], axis=-2)  # [*bs, 2nmax, dim]
+        cand_valid = jnp.concatenate(
+            [jnp.arange(cfg.nmax) < own_o[..., None],
+             jnp.arange(cfg.nmax) < don_o[..., None]], axis=-1)
+
+        # Does candidate belong to this cell along `axis` after the shift?
+        cell_k = jnp.floor(
+            (cand_p[..., axis] + cfg.box_length / 2.0) / w).astype(jnp.int32)
+        cell_k = jnp.clip(cell_k, 0, cfg.cells_per_side - 1)
+        my_k = (2 * jax.lax.broadcasted_iota(jnp.int32, cfg.block_shape, axis)
+                + o[axis])[..., None]
+        belongs = cand_valid & (cell_k == my_k)
+
+        order = jnp.argsort(~belongs, axis=-1, stable=True)
+        merged = jnp.take_along_axis(cand_p, order[..., None], axis=-2)
+        merged = merged[..., : cfg.nmax, :]
+        new_occ = jnp.sum(belongs, axis=-1).astype(jnp.int32)
+        return merged, new_occ
+
+    def build(donor_dir: int):
+        outs = [merge_for_color(c, donor_dir) for c in range(cfg.n_colors)]
+        return (jnp.stack([p for p, _ in outs]),
+                jnp.stack([oc for _, oc in outs]))
+
+    # Donor direction is the sign of d; only one branch executes on device.
+    pos_new, occ_new = jax.lax.cond(
+        d > 0, lambda: build(+1), lambda: build(-1))
+    overflow = jnp.any(occ_new > cfg.nmax)
+    occ_new = jnp.minimum(occ_new, cfg.nmax)
+    return pos_new, occ_new, overflow
+
+
+def shift_rebin(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
+                axis: jax.Array, d: jax.Array,
+                shift_fn: ShiftFn = roll_shift_fn
+                ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Random grid shift: traced axis in [0, dim), traced d in (-w/2, w/2].
+
+    The reference picks f = rand()%3 and d = rand()/RAND_MAX*w - w/2 on the
+    host (kernel.cu:683-684); here the choice is traced so the whole sweep
+    stays on device.
+    """
+    branches = [partial(_shift_rebin_axis, cfg, k, shift_fn=shift_fn)
+                for k in range(cfg.dim)]
+    return jax.lax.switch(axis, branches, pos, occ, d)

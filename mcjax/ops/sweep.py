@@ -1,0 +1,249 @@
+"""Checkerboard Metropolis sweep engine (pure-XLA path).
+
+TPU-native replacement for the reference's hot loop: ``subSweep``
+(kernel.cu:209-435) + the host checkerboard scheduler (kernel.cu:652-701).
+One full MC sweep — a random permutation of the 2^dim colors, n_M trial moves
+for *every* cell of the active color simultaneously, then a random grid shift —
+is a single traced device program.  The reference pays 9 kernel launches and
+8 device-to-host copies per sweep (kernel.cu:660-687); here a whole run is one
+``lax.scan`` with zero host round-trips.
+
+Correctness model (the detailed-balance spec of pptx slide 16, re-derived):
+  * moves that would leave the proposing cell are rejected
+    (<- ``out_of_bound``, kernel.cu:192-206), so the reverse move exists
+    within the same sub-sweep;
+  * within a sub-sweep, each cell's trial particle is picked uniformly at
+    random per move — a symmetric selection kernel (the reference instead
+    shuffles then round-robins, kernel.cu:287,421; its shuffle is broken —
+    SURVEY.md Q3 — uniform picks are the clean equivalent);
+  * color order is a true uniform permutation per sweep (fixes Q4);
+  * acceptance is exact Metropolis min(1, e^{-beta dE}) (the reference's V2
+    halves uphill acceptance via a stray factor 2, kernel.cu:400-403 — Q2;
+    V1 subsweep.h:209-216 has the correct rule, which we follow);
+  * randomness is a counter-based Threefry tree keyed on
+    (master, sweep, color-slot) — reproducible and vmap-safe (fixes Q6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcjax.core.config import SimConfig
+from mcjax.core.geometry import min_image
+from mcjax.core.state import SimState
+from mcjax.models.potentials import Potential, pair_interaction
+from mcjax.ops import cells
+from mcjax.ops.cells import ShiftFn, roll_shift_fn
+
+
+class SweepMetrics(NamedTuple):
+    """Per-sweep observables, all on-device scalars.
+
+    The reference tracks only the energy delta (d_Eblocks, kernel.cu:248,415)
+    and counts-but-never-reports acceptance (kernel.cu:228,413 — SURVEY.md §5);
+    we report both.
+    """
+
+    delta_e: jax.Array      # sum of accepted dE over the sweep
+    accepted: jax.Array     # accepted moves
+    proposed: jax.Array     # proposals in non-empty cells
+    overflow: jax.Array     # grid-shift capacity violation this sweep
+
+
+def _cell_lower_bounds(cfg: SimConfig, color: int) -> jnp.ndarray:
+    """Lower corner of every active cell of ``color``: [*bs, dim]."""
+    o = cells.color_bits(color, cfg.dim)
+    w = cfg.cell_width
+    lbs = []
+    for k in range(cfg.dim):
+        ck = 2 * jax.lax.broadcasted_iota(jnp.int32, cfg.block_shape, k) + o[k]
+        lbs.append(ck.astype(jnp.float32) * w - cfg.box_length / 2.0)
+    return jnp.stack(lbs, axis=-1)
+
+
+def color_substep(cfg: SimConfig, pot: Potential, color: int,
+                  pos: jax.Array, occ: jax.Array, key: jax.Array,
+                  shift_fn: ShiftFn = roll_shift_fn
+                  ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run n_M Metropolis trial moves in every cell of one checkerboard color.
+
+    Equivalent of one ``subSweep`` launch (kernel.cu:209-435), vectorized over
+    all cells of the color at once. Neighbor slabs are frozen reads of the
+    other color blocks (checkerboard non-adjacency by construction).
+
+    Returns: (new own-color block [*bs, nmax, dim], dE scalar, accepted, proposed).
+    """
+    dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    own = pos[color]                       # [*bs, nmax, dim]
+    own_occ = occ[color]                   # [*bs]
+    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
+    nbr_valid = (jnp.arange(nmax) < nbr_occ[..., None])   # [K, *bs, nmax]
+    lb = _cell_lower_bounds(cfg, color)    # [*bs, dim]
+    w = cfg.cell_width
+
+    k_pick, k_disp, k_acc = jax.random.split(key, 3)
+    pick_u = jax.random.uniform(k_pick, (n_m, *cfg.block_shape))
+    if cfg.proposal == "gaussian":
+        # <- make_move: new = old + N(0,1)*sigma (kernel.cu:184-189)
+        disp = cfg.step_size * jax.random.normal(k_disp, (n_m, *cfg.block_shape, dim))
+    else:
+        disp = jax.random.uniform(k_disp, (n_m, *cfg.block_shape, dim),
+                                  minval=-cfg.step_size, maxval=cfg.step_size)
+    acc_u = jax.random.uniform(k_acc, (n_m, *cfg.block_shape))
+
+    slot_ids = jnp.arange(nmax)
+    nonempty = own_occ > 0
+
+    def energy_at(x, own_cur, sel):
+        """Energy + overlap of a particle at x [*bs, dim] vs its neighborhood.
+
+        sel is the one-hot [*bs, nmax] of the moving particle (excluded from
+        the own-cell sum). Replaces the per-thread pair loop + shared-memory
+        tree reduction of the reference (kernel.cu:315-379) with masked
+        vectorized sums — exact, no dropped strides (SURVEY.md Q1).
+        """
+        d_own = min_image(x[..., None, :] - own_cur, cfg.box_length)
+        r2_own = jnp.sum(d_own * d_own, axis=-1)             # [*bs, nmax]
+        valid_own = (slot_ids < own_occ[..., None]) & ~sel
+        e_o, ov_o = pair_interaction(pot, r2_own, valid_own)
+
+        d_nbr = min_image(x[None, ..., None, :] - nbr_pos, cfg.box_length)
+        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=-1)             # [K, *bs, nmax]
+        e_n, ov_n = pair_interaction(pot, r2_nbr, nbr_valid)
+
+        e = jnp.sum(e_o, axis=-1) + jnp.sum(e_n, axis=(0, -1))
+        ov = jnp.any(ov_o, axis=-1) | jnp.any(ov_n, axis=(0, -1))
+        return e, ov
+
+    def move_body(m, carry):
+        own_cur, de_sum, n_acc = carry
+        # Uniform random particle pick (symmetric selection kernel).
+        p = jnp.floor(pick_u[m] * own_occ.astype(jnp.float32)).astype(jnp.int32)
+        p = jnp.minimum(p, jnp.maximum(own_occ - 1, 0))
+        sel = slot_ids == p[..., None]                       # [*bs, nmax]
+
+        old = jnp.sum(jnp.where(sel[..., None], own_cur, 0.0), axis=-2)
+        new = old + disp[m]
+
+        # In-cell rejection (detailed balance under checkerboard decomposition;
+        # <- out_of_bound, kernel.cu:192-206). Cell covers [lb, lb + w).
+        oob = jnp.any((new < lb) | (new >= lb + w), axis=-1)
+
+        e_old, _ = energy_at(old, own_cur, sel)
+        e_new, ov_new = energy_at(new, own_cur, sel)
+        de = e_new - e_old
+
+        if pot.has_energy:
+            metro = acc_u[m] < jnp.exp(-cfg.beta * de)
+        else:
+            metro = jnp.ones_like(oob)  # pure hard-core: dE == 0
+        accept = nonempty & ~oob & ~ov_new & metro
+
+        upd = accept[..., None, None] & sel[..., None]
+        own_cur = jnp.where(upd, new[..., None, :], own_cur)
+        de_sum = de_sum + jnp.sum(jnp.where(accept, de, 0.0))
+        n_acc = n_acc + jnp.sum(accept)
+        return own_cur, de_sum, n_acc
+
+    own_new, de_sum, n_acc = jax.lax.fori_loop(
+        0, n_m, move_body, (own, jnp.float32(0.0), jnp.int32(0)))
+    n_prop = n_m * jnp.sum(nonempty.astype(jnp.int32))
+    return own_new, de_sum, n_acc, n_prop
+
+
+def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
+             shift_fn: ShiftFn = roll_shift_fn
+             ) -> tuple[SimState, SweepMetrics]:
+    """One full MC sweep: shuffled colors x sub-sweeps, then a random grid shift.
+
+    Host-loop equivalent: kernel.cu:652-701, minus all launch/copy boundaries.
+    """
+    n_colors = cfg.n_colors
+    key_sweep = jax.random.fold_in(state.key, state.sweep)
+    k_perm, k_axis, k_dist, k_sub = jax.random.split(key_sweep, 4)
+    perm = jax.random.permutation(k_perm, n_colors)  # true FY (fixes Q4)
+
+    def substep_branch(color: int, pos, occ, k):
+        own_new, de, na, np_ = color_substep(cfg, pot, color, pos, occ, k,
+                                             shift_fn)
+        return pos.at[color].set(own_new), de, na, np_
+
+    branches = [partial(substep_branch, c) for c in range(n_colors)]
+
+    def color_body(i, carry):
+        pos, de, na, np_ = carry
+        k = jax.random.fold_in(k_sub, i)
+        pos, de_i, na_i, np_i = jax.lax.switch(perm[i], branches,
+                                               pos, state.occ, k)
+        return pos, de + de_i, na + na_i, np_ + np_i
+
+    pos, de, n_acc, n_prop = jax.lax.fori_loop(
+        0, n_colors, color_body,
+        (state.pos, jnp.float32(0.0), jnp.int32(0), jnp.int32(0)))
+
+    # Random grid shift (ergodicity across cell boundaries; kernel.cu:683-687).
+    axis = jax.random.randint(k_axis, (), 0, cfg.dim)
+    d = jax.random.uniform(k_dist, (), minval=-cfg.cell_width / 2.0,
+                           maxval=cfg.cell_width / 2.0)
+    do_shift = (state.sweep + 1) % cfg.shift_every == 0
+    pos, occ, ovf = jax.lax.cond(
+        do_shift,
+        lambda: cells.shift_rebin(cfg, pos, state.occ, axis, d, shift_fn),
+        lambda: (pos, state.occ, jnp.zeros((), jnp.bool_)))
+
+    new_state = SimState(pos=pos, occ=occ, key=state.key,
+                         sweep=state.sweep + 1,
+                         overflow=state.overflow | ovf)
+    return new_state, SweepMetrics(de, n_acc, n_prop, ovf)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def run_sweeps(cfg: SimConfig, pot: Potential, state: SimState,
+               n_sweeps: int) -> tuple[SimState, SweepMetrics]:
+    """Run ``n_sweeps`` full sweeps as one scan; metrics stacked per sweep."""
+
+    def body(st, _):
+        st, m = mc_sweep(cfg, pot, st)
+        return st, m
+
+    return jax.lax.scan(body, state, length=n_sweeps)
+
+
+def total_energy_cells(cfg: SimConfig, pot: Potential, pos: jax.Array,
+                       occ: jax.Array,
+                       shift_fn: ShiftFn = roll_shift_fn) -> jax.Array:
+    """Total energy via cell lists: E = 1/2 sum_i sum_{j in ring(i), j != i} e_ij.
+
+    The on-device anchor for the dE-accumulated energy trace (the reference
+    anchors once on the host at sweep 0, kernel.cu:642; we can re-anchor
+    periodically — SURVEY.md Q9).
+    """
+    nmax = cfg.nmax
+    slot_valid = jnp.arange(nmax)
+    total = jnp.float32(0.0)
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        own_occ = occ[color]
+        valid_i = slot_valid < own_occ[..., None]            # [*bs, nmax]
+        # intra-cell pairs
+        d = min_image(own[..., :, None, :] - own[..., None, :, :],
+                      cfg.box_length)
+        r2 = jnp.sum(d * d, axis=-1)                         # [*bs, nmax, nmax]
+        vv = (valid_i[..., :, None] & valid_i[..., None, :]
+              & (slot_valid[:, None] != slot_valid[None, :]))
+        e, _ = pair_interaction(pot, r2, vv)
+        total = total + 0.5 * jnp.sum(e)
+        # cross-cell pairs
+        nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
+        valid_j = slot_valid < nbr_occ[..., None]            # [K, *bs, nmax]
+        dx = min_image(own[None, ..., :, None, :] - nbr_pos[:, ..., None, :, :],
+                       cfg.box_length)
+        r2x = jnp.sum(dx * dx, axis=-1)                      # [K, *bs, nmax, nmax]
+        vx = valid_i[None, ..., :, None] & valid_j[..., None, :]
+        ex, _ = pair_interaction(pot, r2x, vx)
+        total = total + 0.5 * jnp.sum(ex)
+    return total
