@@ -1,0 +1,115 @@
+"""Trajectory dumps and checkpoint/resume.
+
+* ``write_lammps_dump`` reproduces the reference's OVITO-compatible
+  LAMMPS-style dump (``create_dump``, kernel.cu:510-536; sample artifact
+  dumpR3.txt) so existing visualization workflows keep working.
+* Checkpointing is first-class (the reference has none — runs are
+  fire-and-forget, SURVEY.md §5): the full SimState pytree (positions,
+  occupancy, Threefry key, sweep counter) round-trips exactly, and because
+  all randomness is counter-based on (key, sweep), a resumed run is bitwise
+  identical to an uninterrupted one (tested in test_sweep.py /
+  test_io.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import IO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import SimState
+
+
+def write_lammps_dump(f: IO[str] | str, frames: np.ndarray,
+                      box_length: float) -> None:
+    """Write [T, N, dim] position frames in the reference's dump format.
+
+    Header layout follows create_dump (kernel.cu:528-532): per-frame TIMESTEP,
+    NUMBER OF ATOMS, BOX BOUNDS (3 lines; 2D dumps get a flat z-slab), then
+    ``id type x y z ix iy iz`` rows.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim == 2:
+        frames = frames[None]
+    t_steps, n, dim = frames.shape
+    half = box_length / 2.0
+
+    own = isinstance(f, (str, os.PathLike))
+    fh = open(f, "w") if own else f
+    try:
+        for t in range(t_steps):
+            fh.write(f"ITEM: TIMESTEP \n{t}\nITEM: NUMBER OF ATOMS\n{n}\n")
+            fh.write("ITEM: BOX BOUNDS\n")
+            for _ in range(min(dim, 3)):
+                fh.write(f"{-half:f} {half:f}\n")
+            for _ in range(3 - dim):
+                fh.write("-0.500000 0.500000\n")
+            fh.write("ITEM: ATOMS id type x y z ix iy iz\n")
+            for j in range(n):
+                x = frames[t, j, 0]
+                y = frames[t, j, 1]
+                z = frames[t, j, 2] if dim == 3 else 0.0
+                fh.write(f"{j + 1} {j + 1} {x:f} {y:f} {z:f} 0 0 0\n")
+    finally:
+        if own:
+            fh.close()
+
+
+def read_lammps_dump(path: str) -> np.ndarray:
+    """Parse frames back ([T, N, 3]); inverse of write_lammps_dump (tests)."""
+    frames, cur = [], None
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if lines[i].startswith("ITEM: NUMBER OF ATOMS"):
+            n = int(lines[i + 1])
+            i += 2
+        elif lines[i].startswith("ITEM: ATOMS"):
+            cur = np.array([[float(v) for v in lines[i + 1 + j].split()[2:5]]
+                            for j in range(n)])
+            frames.append(cur)
+            i += 1 + n
+        else:
+            i += 1
+    return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, cfg: SimConfig, state: SimState) -> None:
+    """Persist config + full state; atomic-rename so a crash can't corrupt."""
+    tmp = path + ".tmp"
+    np.savez(
+        tmp if tmp.endswith(".npz") else tmp,
+        pos=np.asarray(state.pos),
+        occ=np.asarray(state.occ),
+        key_data=np.asarray(jax.random.key_data(state.key)),
+        sweep=np.asarray(state.sweep),
+        overflow=np.asarray(state.overflow),
+        config_json=json.dumps(dataclasses.asdict(cfg)),
+    )
+    # np.savez appends .npz if missing
+    src = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(src, path)
+
+
+def load_checkpoint(path: str) -> tuple[SimConfig, SimState]:
+    with np.load(path, allow_pickle=False) as z:
+        cfg = SimConfig(**json.loads(str(z["config_json"])))
+        state = SimState(
+            pos=jnp.asarray(z["pos"]),
+            occ=jnp.asarray(z["occ"]),
+            key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])),
+            sweep=jnp.asarray(z["sweep"]),
+            overflow=jnp.asarray(z["overflow"]),
+        )
+    return cfg, state

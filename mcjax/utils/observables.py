@@ -1,0 +1,118 @@
+"""Observables: energy traces, acceptance, g(r), pressure / equation of state.
+
+The reference's only observables are the dE-accumulated per-sweep energy trace
+(kernel.cu:672-680, printed kernel.cu:695) and trajectory dumps; acceptance is
+counted but never reported (kernel.cu:228,413).  mcjax adds the statistical
+observables the BASELINE.json parity gate needs: radial distribution function,
+virial pressure for continuous potentials, and the contact-value equation of
+state for hard particles.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcjax.core.geometry import min_image
+from mcjax.models.potentials import HardSphere, LennardJones, Potential
+
+
+def energy_trace(e0: jax.Array, delta_e: jax.Array) -> jax.Array:
+    """Per-sweep total energy: E_t = E_0 + cumsum(accepted dE) — the
+    reference's trace semantics (kernel.cu:680)."""
+    return e0 + jnp.cumsum(delta_e)
+
+
+def acceptance_ratio(accepted: jax.Array, proposed: jax.Array) -> jax.Array:
+    return jnp.sum(accepted) / jnp.maximum(jnp.sum(proposed), 1)
+
+
+@partial(jax.jit, static_argnums=(2, 4))
+def radial_distribution(positions: jax.Array, box_length: float,
+                        n_bins: int, r_max: float,
+                        dim: int) -> tuple[jax.Array, jax.Array]:
+    """g(r) histogram from an O(N^2) distance pass (test/analysis scale).
+
+    Returns (bin centers [n_bins], g values [n_bins]).
+    """
+    n = positions.shape[0]
+    disp = min_image(positions[:, None, :] - positions[None, :, :], box_length)
+    r = jnp.sqrt(jnp.sum(disp * disp, axis=-1))
+    iu = jnp.triu_indices(n, k=1)
+    r = r[iu]
+    dr = r_max / n_bins
+    bins = jnp.floor(r / dr).astype(jnp.int32)
+    counts = jnp.zeros((n_bins,), jnp.float32).at[bins].add(
+        jnp.where(r < r_max, 1.0, 0.0), mode="drop")
+    centers = (jnp.arange(n_bins) + 0.5) * dr
+    volume = box_length**dim
+    rho = n / volume
+    if dim == 2:
+        shell = 2.0 * math.pi * centers * dr
+    else:
+        shell = 4.0 * math.pi * centers**2 * dr
+    # counts holds each unordered pair once; ideal-gas pair count in a shell
+    # is N * rho * shell / 2
+    ideal = n * rho * shell / 2.0
+    return centers, counts / ideal
+
+
+def virial_pressure(pot: Potential, positions: jax.Array, box_length: float,
+                    beta: float, dim: int) -> jax.Array:
+    """P = rho/beta + W/(dim V) with W = sum_{i<j} (-r dV/dr)  (continuous pots).
+
+    Implemented with autodiff on the pair energy so it works for any smooth
+    potential: w(r2) = -2 r2 * d(pair_energy)/d(r2).
+    """
+    n = positions.shape[0]
+    disp = min_image(positions[:, None, :] - positions[None, :, :], box_length)
+    r2 = jnp.sum(disp * disp, axis=-1)
+    iu = jnp.triu_indices(n, k=1)
+    r2 = r2[iu]
+    de_dr2 = jax.vmap(jax.grad(lambda s: jnp.sum(pot.pair_energy(s[None]))))(r2)
+    w = -2.0 * r2 * de_dr2
+    volume = box_length**dim
+    rho = n / volume
+    return rho / beta + jnp.sum(w) / (dim * volume)
+
+
+def hard_disk_eos(positions: jax.Array, box_length: float, diameter: float,
+                  dim: int, n_bins: int = 64,
+                  window: float = 0.08) -> float:
+    """Compressibility factor Z = P/(rho kT) from the contact value g(d+).
+
+    Hard spheres: Z = 1 + 4 phi g(d+); hard disks: Z = 1 + 2 phi g(d+),
+    with phi the packing fraction. g(d+) is estimated by a linear fit of
+    g(r) on r in (d, d(1+window)] extrapolated to r = d.
+    """
+    n = positions.shape[0]
+    r_max = diameter * (1.0 + window)
+    centers, g = radial_distribution(positions, box_length, n_bins, r_max, dim)
+    centers = np.asarray(centers)
+    g = np.asarray(g)
+    mask = centers > diameter
+    if mask.sum() < 2:
+        raise ValueError("not enough bins beyond contact; raise n_bins")
+    coef = np.polyfit(centers[mask], g[mask], 1)
+    g_contact = float(np.polyval(coef, diameter))
+    volume = box_length**dim
+    if dim == 2:
+        phi = n * math.pi * diameter**2 / 4.0 / volume
+        return 1.0 + 2.0 * phi * g_contact
+    phi = n * math.pi * diameter**3 / 6.0 / volume
+    return 1.0 + 4.0 * phi * g_contact
+
+
+def henderson_z_disks(phi: float) -> float:
+    """Henderson (1975) hard-disk EOS Z(phi) — literature closed form used as
+    the parity target for the hard-disk equation of state."""
+    return (1.0 + phi**2 / 8.0) / (1.0 - phi) ** 2
+
+
+def carnahan_starling_z(phi: float) -> float:
+    """Carnahan-Starling hard-sphere EOS Z(phi) — 3D parity target."""
+    return (1.0 + phi + phi**2 - phi**3) / (1.0 - phi) ** 3

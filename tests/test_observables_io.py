@@ -1,0 +1,95 @@
+"""Observables + IO tests: g(r) ideal-gas normalization, virial pressure vs
+closed form, dump round-trip, checkpoint/resume bitwise determinism."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.potentials import HardSphere, LennardJones
+from mcjax.ops import cells
+from mcjax.ops.sweep import run_sweeps
+from mcjax.utils import io, observables
+
+
+def test_gr_ideal_gas_is_unity():
+    # uniform random points -> g(r) ~ 1 away from r=0
+    n, L = 2000, 20.0
+    r = jax.random.uniform(jax.random.key(0), (n, 2), minval=-L / 2,
+                           maxval=L / 2)
+    centers, g = observables.radial_distribution(r, L, 40, 5.0, 2)
+    g = np.asarray(g)[10:]  # skip small-r noise bins
+    assert abs(g.mean() - 1.0) < 0.05
+    n3 = 3000
+    r3 = jax.random.uniform(jax.random.key(1), (n3, 3), minval=-L / 2,
+                            maxval=L / 2)
+    _, g3 = observables.radial_distribution(r3, L, 40, 5.0, 3)
+    assert abs(np.asarray(g3)[10:].mean() - 1.0) < 0.05
+
+
+def test_virial_pressure_two_particles_closed_form():
+    # two LJ particles at fixed separation: W = 24 eps (2 (s/r)^12 - (s/r)^6)
+    lj = LennardJones()
+    L, rsep, beta, dim = 50.0, 1.2, 1.0, 3
+    pos = jnp.array([[0.0, 0.0, 0.0], [rsep, 0.0, 0.0]])
+    p = observables.virial_pressure(lj, pos, L, beta, dim)
+    w = 24.0 * (2.0 * rsep**-12 - rsep**-6)
+    expected = 2 / L**3 / beta + w / (dim * L**3)
+    np.testing.assert_allclose(float(p), expected, rtol=1e-4)
+
+
+def test_energy_trace_shape():
+    t = observables.energy_trace(jnp.float32(-3.0), jnp.ones(5))
+    np.testing.assert_allclose(np.asarray(t), [-2, -1, 0, 1, 2])
+
+
+def test_hard_disk_eos_dilute_limit():
+    # at low density Z -> 1 (+ 2 phi g ~ small); just check it's near Z_H
+    n, phi = 400, 0.2
+    L = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(L // 1.25) - int(L // 1.25) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=L, cells_per_side=cps,
+                    nmax=10, n_moves=6, proposal="uniform", step_size=0.3,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    cfg.validate_against(hs.r_cut)
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, hs, st, 300)
+    zs = []
+    for _ in range(6):
+        st, _ = run_sweeps(cfg, hs, st, 25)
+        r = cells.unbin(cfg, st.pos, st.occ)
+        zs.append(observables.hard_disk_eos(r, L, 1.0, 2))
+    z = float(np.mean(zs))
+    z_ref = observables.henderson_z_disks(phi)
+    assert abs(z - z_ref) / z_ref < 0.12, (z, z_ref)
+
+
+def test_dump_roundtrip(tmp_path):
+    frames = np.random.RandomState(0).uniform(-5, 5, (3, 7, 3)).astype(np.float32)
+    p = str(tmp_path / "dump.txt")
+    io.write_lammps_dump(p, frames, 10.0)
+    back = io.read_lammps_dump(p)
+    np.testing.assert_allclose(back, frames, atol=1e-5)
+    txt = open(p).read()
+    assert "ITEM: TIMESTEP" in txt and "ITEM: BOX BOUNDS" in txt
+    assert txt.count("ITEM: TIMESTEP") == 3
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    cfg = SimConfig(dim=3, n_atoms=64, box_length=10.0, cells_per_side=4,
+                    nmax=10, n_moves=8)
+    lj = LennardJones()
+    st = init_state(cfg)
+    mid, _ = run_sweeps(cfg, lj, st, 7)
+    p = str(tmp_path / "ck.npz")
+    io.save_checkpoint(p, cfg, mid)
+    cfg2, loaded = io.load_checkpoint(p)
+    assert cfg2 == cfg
+    resumed, _ = run_sweeps(cfg2, lj, loaded, 5)
+    full, _ = run_sweeps(cfg, lj, st, 12)
+    np.testing.assert_array_equal(np.asarray(resumed.pos), np.asarray(full.pos))
+    assert int(resumed.sweep) == 12
