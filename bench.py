@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: MC trial moves/sec/chip, hard disks (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published 57 s for 1000 sweeps x 1280 moves of the
+3D LJ system (pptx slide 14) = 2.25e4 trial moves/s on its GPU.
+"""
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_MOVES_PER_S = 2.25e4  # BASELINE.md
+
+
+def build(n_atoms: int, phi: float, cell_width_factor: float, nmax: int,
+          n_moves: int, seed: int = 0):
+    from mcjax.core.config import SimConfig
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import HardSphere
+
+    diameter = 1.0
+    box = math.sqrt(n_atoms * math.pi * diameter**2 / 4.0 / phi)
+    cps = int(box // (diameter * cell_width_factor))
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n_atoms, box_length=box,
+                    cells_per_side=cps, nmax=nmax, n_moves=n_moves,
+                    proposal="uniform", step_size=0.18, beta=1.0, seed=seed)
+    pot = HardSphere(diameter)
+    cfg.validate_against(pot.r_cut)
+    state = init_state(cfg)
+    return cfg, pot, state
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_048_576)
+    ap.add_argument("--phi", type=float, default=0.5)
+    ap.add_argument("--wfac", type=float, default=2.0)
+    ap.add_argument("--nmax", type=int, default=10)
+    ap.add_argument("--moves", type=int, default=8)
+    ap.add_argument("--sweeps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    args = ap.parse_args()
+
+    cfg, pot, state = build(args.n, args.phi, args.wfac, args.nmax, args.moves)
+
+    engine = args.engine
+    if engine == "auto":
+        on_tpu = jax.devices()[0].platform != "cpu"
+        try:
+            from mcjax.ops import pallas_sweep  # noqa: F401
+            engine = "pallas" if on_tpu else "xla"
+        except Exception:
+            engine = "xla"
+
+    if engine == "pallas":
+        from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
+    else:
+        from mcjax.ops.sweep import run_sweeps as runner
+
+    # warmup / compile. NB: through the remote-TPU tunnel block_until_ready
+    # can be a no-op, so force completion by fetching a scalar to host.
+    st, m = runner(cfg, pot, state, args.warmup)
+    _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
+
+    t0 = time.perf_counter()
+    st2, m = runner(cfg, pot, st, args.sweeps)
+    _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
+    dt = time.perf_counter() - t0
+
+    proposed = int(jnp.sum(m.proposed))
+    accepted = int(jnp.sum(m.accepted))
+    moves_per_s = proposed / dt
+    result = {
+        "metric": "hard-disk MC trial moves/sec/chip (N=%d, phi=%.2f, %s)"
+                  % (cfg.n_atoms, args.phi, engine),
+        "value": moves_per_s,
+        "unit": "moves/s",
+        "vs_baseline": moves_per_s / REFERENCE_MOVES_PER_S,
+    }
+    print(json.dumps(result))
+    print(f"# {args.sweeps} sweeps in {dt:.3f}s; acceptance "
+          f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "
+          f"overflow {bool(st2.overflow)}; device {jax.devices()[0].device_kind}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

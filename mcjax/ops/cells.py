@@ -203,7 +203,8 @@ def neighbor_stack(cfg: SimConfig, pos: jax.Array, occ: jax.Array, color: int,
 
 def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
                       occ: jax.Array, d: jax.Array,
-                      shift_fn: ShiftFn = roll_shift_fn
+                      shift_fn: ShiftFn = roll_shift_fn,
+                      block_offset: jax.Array | None = None
                       ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Grid shift along a *static* axis by traced distance d in (-w/2, w/2].
 
@@ -239,8 +240,11 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
         cell_k = jnp.floor(
             (cand_p[..., axis] + cfg.box_length / 2.0) / w).astype(jnp.int32)
         cell_k = jnp.clip(cell_k, 0, cfg.cells_per_side - 1)
-        my_k = (2 * jax.lax.broadcasted_iota(jnp.int32, cfg.block_shape, axis)
-                + o[axis])[..., None]
+        bs_local = own_o.shape
+        bk = jax.lax.broadcasted_iota(jnp.int32, bs_local, axis)
+        if block_offset is not None:
+            bk = bk + block_offset[axis]
+        my_k = (2 * bk + o[axis])[..., None]
         belongs = cand_valid & (cell_k == my_k)
 
         order = jnp.argsort(~belongs, axis=-1, stable=True)
@@ -264,7 +268,8 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
 
 def shift_rebin(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
                 axis: jax.Array, d: jax.Array,
-                shift_fn: ShiftFn = roll_shift_fn
+                shift_fn: ShiftFn = roll_shift_fn,
+                block_offset: jax.Array | None = None
                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Random grid shift: traced axis in [0, dim), traced d in (-w/2, w/2].
 
@@ -272,6 +277,7 @@ def shift_rebin(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
     host (kernel.cu:683-684); here the choice is traced so the whole sweep
     stays on device.
     """
-    branches = [partial(_shift_rebin_axis, cfg, k, shift_fn=shift_fn)
+    branches = [partial(_shift_rebin_axis, cfg, k, shift_fn=shift_fn,
+                        block_offset=block_offset)
                 for k in range(cfg.dim)]
     return jax.lax.switch(axis, branches, pos, occ, d)

@@ -54,20 +54,32 @@ class SweepMetrics(NamedTuple):
     overflow: jax.Array     # grid-shift capacity violation this sweep
 
 
-def _cell_lower_bounds(cfg: SimConfig, color: int) -> jnp.ndarray:
-    """Lower corner of every active cell of ``color``: [*bs, dim]."""
+def _cell_lower_bounds(cfg: SimConfig, color: int,
+                       block_shape: tuple[int, ...],
+                       block_offset: jax.Array | None) -> jnp.ndarray:
+    """Lower corner of every active cell of ``color``: [*bs, dim].
+
+    ``block_shape`` is the (possibly shard-local) block extent;
+    ``block_offset`` is this shard's global block-index offset per axis
+    (None on a single chip).
+    """
     o = cells.color_bits(color, cfg.dim)
     w = cfg.cell_width
     lbs = []
     for k in range(cfg.dim):
-        ck = 2 * jax.lax.broadcasted_iota(jnp.int32, cfg.block_shape, k) + o[k]
+        bk = jax.lax.broadcasted_iota(jnp.int32, block_shape, k)
+        if block_offset is not None:
+            bk = bk + block_offset[k]
+        ck = 2 * bk + o[k]
         lbs.append(ck.astype(jnp.float32) * w - cfg.box_length / 2.0)
     return jnp.stack(lbs, axis=-1)
 
 
 def color_substep(cfg: SimConfig, pot: Potential, color: int,
                   pos: jax.Array, occ: jax.Array, key: jax.Array,
-                  shift_fn: ShiftFn = roll_shift_fn
+                  shift_fn: ShiftFn = roll_shift_fn,
+                  beta: jax.Array | float | None = None,
+                  block_offset: jax.Array | None = None
                   ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run n_M Metropolis trial moves in every cell of one checkerboard color.
 
@@ -75,25 +87,31 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     all cells of the color at once. Neighbor slabs are frozen reads of the
     other color blocks (checkerboard non-adjacency by construction).
 
+    ``beta`` may be traced (parallel tempering); ``block_offset`` is the
+    shard's global block offset under domain sharding.
+
     Returns: (new own-color block [*bs, nmax, dim], dE scalar, accepted, proposed).
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    if beta is None:
+        beta = cfg.beta
     own = pos[color]                       # [*bs, nmax, dim]
     own_occ = occ[color]                   # [*bs]
+    bs = own.shape[:-2]
     nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
     nbr_valid = (jnp.arange(nmax) < nbr_occ[..., None])   # [K, *bs, nmax]
-    lb = _cell_lower_bounds(cfg, color)    # [*bs, dim]
+    lb = _cell_lower_bounds(cfg, color, bs, block_offset)  # [*bs, dim]
     w = cfg.cell_width
 
     k_pick, k_disp, k_acc = jax.random.split(key, 3)
-    pick_u = jax.random.uniform(k_pick, (n_m, *cfg.block_shape))
+    pick_u = jax.random.uniform(k_pick, (n_m, *bs))
     if cfg.proposal == "gaussian":
         # <- make_move: new = old + N(0,1)*sigma (kernel.cu:184-189)
-        disp = cfg.step_size * jax.random.normal(k_disp, (n_m, *cfg.block_shape, dim))
+        disp = cfg.step_size * jax.random.normal(k_disp, (n_m, *bs, dim))
     else:
-        disp = jax.random.uniform(k_disp, (n_m, *cfg.block_shape, dim),
+        disp = jax.random.uniform(k_disp, (n_m, *bs, dim),
                                   minval=-cfg.step_size, maxval=cfg.step_size)
-    acc_u = jax.random.uniform(k_acc, (n_m, *cfg.block_shape))
+    acc_u = jax.random.uniform(k_acc, (n_m, *bs))
 
     slot_ids = jnp.arange(nmax)
     nonempty = own_occ > 0
@@ -138,7 +156,7 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
         de = e_new - e_old
 
         if pot.has_energy:
-            metro = acc_u[m] < jnp.exp(-cfg.beta * de)
+            metro = acc_u[m] < jnp.exp(-beta * de)
         else:
             metro = jnp.ones_like(oob)  # pure hard-core: dE == 0
         accept = nonempty & ~oob & ~ov_new & metro
@@ -149,27 +167,42 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
         n_acc = n_acc + jnp.sum(accept)
         return own_cur, de_sum, n_acc
 
+    # Accumulator zeros derived from sharded data so they inherit its
+    # varying-manual-axes type under shard_map (plain literals are
+    # "replicated" and would clash with the loop-carry type).
+    zf = own[(0,) * own.ndim] * 0.0
+    zi = own_occ[(0,) * own_occ.ndim] * 0
     own_new, de_sum, n_acc = jax.lax.fori_loop(
-        0, n_m, move_body, (own, jnp.float32(0.0), jnp.int32(0)))
+        0, n_m, move_body, (own, zf, zi))
     n_prop = n_m * jnp.sum(nonempty.astype(jnp.int32))
     return own_new, de_sum, n_acc, n_prop
 
 
 def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
-             shift_fn: ShiftFn = roll_shift_fn
+             shift_fn: ShiftFn = roll_shift_fn,
+             beta: jax.Array | float | None = None,
+             block_offset: jax.Array | None = None,
+             shard_id: jax.Array | None = None
              ) -> tuple[SimState, SweepMetrics]:
     """One full MC sweep: shuffled colors x sub-sweeps, then a random grid shift.
 
     Host-loop equivalent: kernel.cu:652-701, minus all launch/copy boundaries.
+
+    Under domain sharding (shard_map), the *schedule* randomness (color
+    permutation, shift axis/distance) derives only from (key, sweep) — shared
+    by all shards — while the *move* randomness additionally folds in
+    ``shard_id`` so different shards draw independent streams.
     """
     n_colors = cfg.n_colors
     key_sweep = jax.random.fold_in(state.key, state.sweep)
     k_perm, k_axis, k_dist, k_sub = jax.random.split(key_sweep, 4)
+    if shard_id is not None:
+        k_sub = jax.random.fold_in(k_sub, shard_id)
     perm = jax.random.permutation(k_perm, n_colors)  # true FY (fixes Q4)
 
     def substep_branch(color: int, pos, occ, k):
         own_new, de, na, np_ = color_substep(cfg, pot, color, pos, occ, k,
-                                             shift_fn)
+                                             shift_fn, beta, block_offset)
         return pos.at[color].set(own_new), de, na, np_
 
     branches = [partial(substep_branch, c) for c in range(n_colors)]
@@ -181,9 +214,10 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
                                                pos, state.occ, k)
         return pos, de + de_i, na + na_i, np_ + np_i
 
+    zf = state.pos[(0,) * state.pos.ndim] * 0.0
+    zi = state.occ[(0,) * state.occ.ndim] * 0
     pos, de, n_acc, n_prop = jax.lax.fori_loop(
-        0, n_colors, color_body,
-        (state.pos, jnp.float32(0.0), jnp.int32(0), jnp.int32(0)))
+        0, n_colors, color_body, (state.pos, zf, zi, zi))
 
     # Random grid shift (ergodicity across cell boundaries; kernel.cu:683-687).
     axis = jax.random.randint(k_axis, (), 0, cfg.dim)
@@ -192,8 +226,10 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
     do_shift = (state.sweep + 1) % cfg.shift_every == 0
     pos, occ, ovf = jax.lax.cond(
         do_shift,
-        lambda: cells.shift_rebin(cfg, pos, state.occ, axis, d, shift_fn),
-        lambda: (pos, state.occ, jnp.zeros((), jnp.bool_)))
+        lambda: cells.shift_rebin(cfg, pos, state.occ, axis, d, shift_fn,
+                                  block_offset),
+        lambda: (pos, state.occ, jnp.any(state.occ < 0)))  # always-False, but
+    # derived from sharded data so both cond branches agree on varying axes.
 
     new_state = SimState(pos=pos, occ=occ, key=state.key,
                          sweep=state.sweep + 1,
@@ -203,11 +239,17 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
 
 @partial(jax.jit, static_argnums=(0, 1, 3))
 def run_sweeps(cfg: SimConfig, pot: Potential, state: SimState,
-               n_sweeps: int) -> tuple[SimState, SweepMetrics]:
-    """Run ``n_sweeps`` full sweeps as one scan; metrics stacked per sweep."""
+               n_sweeps: int,
+               beta: jax.Array | None = None
+               ) -> tuple[SimState, SweepMetrics]:
+    """Run ``n_sweeps`` full sweeps as one scan; metrics stacked per sweep.
+
+    ``beta`` (traced) overrides cfg.beta — used by parallel tempering where
+    each replica runs at its own temperature (mcjax.parallel.ensemble).
+    """
 
     def body(st, _):
-        st, m = mc_sweep(cfg, pot, st)
+        st, m = mc_sweep(cfg, pot, st, beta=beta)
         return st, m
 
     return jax.lax.scan(body, state, length=n_sweeps)

@@ -1,0 +1,107 @@
+"""Replica ensembles and parallel tempering.
+
+Not present in the reference at all (SURVEY.md §2: "Data parallel: No") — this
+is the capability layer that ``vmap`` + counter-based Threefry buys for free:
+R independent chains differ only in their fold_in'd replica key, so an
+ensemble is literally ``vmap(run_sweeps)``.  Parallel tempering layers
+replica-exchange moves on top: adjacent-temperature configuration swaps with
+the standard acceptance min(1, exp[(beta_i - beta_j)(E_i - E_j)]).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import SimState, init_state
+from mcjax.models.potentials import Potential
+from mcjax.ops.sweep import SweepMetrics, run_sweeps, total_energy_cells
+
+
+def init_ensemble(cfg: SimConfig, n_replicas: int,
+                  seed: int | None = None,
+                  positions: jax.Array | None = None) -> SimState:
+    """Batched state: identical initial configuration, decorrelated keys."""
+    base = init_state(cfg, seed=seed, positions=positions)
+    master = base.key
+
+    def one(r):
+        return SimState(
+            pos=base.pos, occ=base.occ,
+            key=jax.random.fold_in(master, r),
+            sweep=base.sweep, overflow=base.overflow,
+        )
+
+    return jax.vmap(one)(jnp.arange(n_replicas))
+
+
+def run_ensemble(cfg: SimConfig, pot: Potential, states: SimState,
+                 n_sweeps: int,
+                 betas: jax.Array | None = None
+                 ) -> tuple[SimState, SweepMetrics]:
+    """vmap'd independent chains; per-replica metrics [R, n_sweeps]."""
+    if betas is None:
+        return jax.vmap(lambda s: run_sweeps(cfg, pot, s, n_sweeps))(states)
+    return jax.vmap(lambda s, b: run_sweeps(cfg, pot, s, n_sweeps, b))(
+        states, betas)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def swap_replicas(cfg: SimConfig, pot: Potential, states: SimState,
+                  betas: jax.Array, key: jax.Array, parity: jax.Array
+                  ) -> tuple[SimState, jax.Array]:
+    """One replica-exchange phase: attempt swaps of adjacent-beta pairs
+    (i, i+1) with i ≡ parity (mod 2).
+
+    Configurations (pos/occ/overflow) swap; keys and sweep counters stay with
+    their slot so every slot keeps its own deterministic random stream.
+
+    Returns (new states, number of accepted swaps).
+    """
+    r = betas.shape[0]
+    energies = jax.vmap(lambda p, o: total_energy_cells(cfg, pot, p, o))(
+        states.pos, states.occ)
+
+    idx = jnp.arange(r)
+    is_left = (idx % 2 == parity) & (idx + 1 < r)
+    e_next = jnp.roll(energies, -1)
+    b_next = jnp.roll(betas, -1)
+    log_alpha = (betas - b_next) * (energies - e_next)
+    u = jax.random.uniform(key, (r,))
+    acc_left = is_left & (jnp.log(u) < log_alpha)
+    acc_right = jnp.roll(acc_left, 1)  # partner of an accepted left index
+
+    perm = jnp.where(acc_left, idx + 1, jnp.where(acc_right, idx - 1, idx))
+    swapped = SimState(
+        pos=states.pos[perm],
+        occ=states.occ[perm],
+        key=states.key,
+        sweep=states.sweep,
+        overflow=states.overflow[perm],
+    )
+    return swapped, jnp.sum(acc_left.astype(jnp.int32))
+
+
+def parallel_tempering(cfg: SimConfig, pot: Potential, states: SimState,
+                       betas: jax.Array, key: jax.Array, n_rounds: int,
+                       sweeps_per_round: int
+                       ) -> tuple[SimState, jax.Array, jax.Array]:
+    """Alternate vmapped MC sweeps with replica-exchange phases.
+
+    Returns (states, per-round swap acceptances [n_rounds], per-round mean
+    energies [n_rounds, R]).
+    """
+    swaps, energy_hist = [], []
+    for rnd in range(n_rounds):
+        states, _ = run_ensemble(cfg, pot, states, sweeps_per_round, betas)
+        k = jax.random.fold_in(key, rnd)
+        states, n_acc = swap_replicas(cfg, pot, states, betas, k,
+                                      jnp.int32(rnd % 2))
+        swaps.append(n_acc)
+        e = jax.vmap(lambda p, o: total_energy_cells(cfg, pot, p, o))(
+            states.pos, states.occ)
+        energy_hist.append(e)
+    return states, jnp.stack(swaps), jnp.stack(energy_hist)

@@ -1,0 +1,166 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh (SURVEY.md §4):
+halo exchange vs global roll, sharded sweep energy anchoring, conservation,
+replica ensembles, parallel tempering."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.potentials import HardSphere, LennardJones
+from mcjax.models.reference import total_energy
+from mcjax.ops import cells
+from mcjax.ops.sweep import run_sweeps, total_energy_cells
+from mcjax.parallel import ensemble, mesh as pmesh
+
+LJ = LennardJones(r_cut=2.5)
+HD = HardSphere(1.0)
+
+
+def make_mesh(shape, names):
+    devs = np.array(jax.devices()[: math.prod(shape)]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def lj_cfg(**kw):
+    base = dict(dim=3, n_atoms=512, box_length=20.0, cells_per_side=8,
+                nmax=10, n_moves=5, beta=0.3, step_size=0.5, seed=0)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def hd_cfg(n=256, phi=0.45, **kw):
+    L = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(L // 1.0)
+    cps -= cps % 4  # divisible by 2 (colors) and mesh axes of 2
+    base = dict(dim=2, n_atoms=n, box_length=L, cells_per_side=cps, nmax=8,
+                n_moves=6, proposal="uniform", step_size=0.15, beta=1.0, seed=0)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+# ---- halo shift primitive ----------------------------------------------------
+
+@pytest.mark.parametrize("s", [1, -1])
+def test_halo_shift_matches_global_roll(s):
+    m = make_mesh((4, 2), ("y", "x"))
+    x = jnp.arange(8 * 6 * 3, dtype=jnp.float32).reshape(8, 6, 3)
+
+    def body(xl):
+        return pmesh.halo_shift(xl, s, 0, "y")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=m, in_specs=P("y", "x", None),
+        out_specs=P("y", "x", None)))(x)
+    np.testing.assert_array_equal(np.asarray(got), np.roll(x, -s, axis=0))
+
+
+def test_halo_shift_fn_mixed_axes():
+    m = make_mesh((4, 2), ("y", "x"))
+    x = jnp.arange(8 * 8, dtype=jnp.float32).reshape(8, 8)
+    fn = pmesh.make_halo_shift_fn(("y", None))
+
+    def body(xl):
+        return fn(xl, (1, -1))
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=m, in_specs=P("y", None), out_specs=P("y", None)))(x)
+    expected = np.roll(np.roll(x, -1, axis=0), 1, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+# ---- sharded sweeps ----------------------------------------------------------
+
+def test_sharded_lj_energy_trace_anchored():
+    """dE-accumulated trace == exact recompute on a 2x2x2 spatial mesh —
+    validates every halo read in the energy path."""
+    cfg = lj_cfg()
+    m = make_mesh((2, 2, 2), ("z", "y", "x"))
+    st = init_state(cfg)
+    e0, _ = total_energy(LJ, cells.unbin(cfg, st.pos, st.occ), cfg.box_length)
+    run = pmesh.make_sharded_run_sweeps(cfg, LJ, m, ("z", "y", "x"), 10)
+    st_sh = pmesh.shard_state(cfg, st, m, ("z", "y", "x"))
+    st2, met = run(st_sh)
+    e_traced = float(e0) + float(jnp.sum(met.delta_e))
+    e_exact, _ = total_energy(LJ, cells.unbin(cfg, st2.pos, st2.occ),
+                              cfg.box_length)
+    assert abs(e_traced - float(e_exact)) < 1e-2 * max(1.0, abs(float(e_exact)))
+    assert int(st2.occ.sum()) == cfg.n_atoms
+    assert not bool(st2.overflow)
+
+
+def test_sharded_hard_disks_invariants():
+    cfg = hd_cfg()
+    m = make_mesh((2, 2), ("y", "x"))
+    st = init_state(cfg)
+    run = pmesh.make_sharded_run_sweeps(cfg, HD, m, ("y", "x"), 25)
+    st_sh = pmesh.shard_state(cfg, st, m, ("y", "x"))
+    st2, met = run(st_sh)
+    assert int(st2.occ.sum()) == cfg.n_atoms
+    _, ov = total_energy(HD, cells.unbin(cfg, st2.pos, st2.occ),
+                         cfg.box_length)
+    assert not bool(ov)
+    assert float(met.accepted.sum()) > 0
+    # sharded state really is distributed
+    assert len(st2.pos.sharding.device_set) == 4
+
+
+def test_sharded_with_replica_axis():
+    cfg = hd_cfg()
+    m = make_mesh((2, 2, 2), ("rep", "y", "x"))
+    states = ensemble.init_ensemble(cfg, n_replicas=2)
+    run = pmesh.make_sharded_run_sweeps(cfg, HD, m, ("y", "x"), 8,
+                                        replica_axis="rep")
+    st_sh = pmesh.shard_state(cfg, states, m, ("y", "x"), replica_axis="rep")
+    st2, met = run(st_sh)
+    assert st2.pos.shape[0] == 2
+    assert int(st2.occ.sum()) == 2 * cfg.n_atoms
+    assert met.accepted.shape == (2, 8)
+    # replicas decorrelate
+    assert not np.array_equal(np.asarray(st2.pos[0]), np.asarray(st2.pos[1]))
+
+
+# ---- ensembles / tempering ---------------------------------------------------
+
+def test_ensemble_replicas_independent_and_reproducible():
+    cfg = lj_cfg(n_atoms=64, box_length=10.0, cells_per_side=4)
+    states = ensemble.init_ensemble(cfg, 3)
+    out, met = ensemble.run_ensemble(cfg, LJ, states, 5)
+    assert out.pos.shape[0] == 3
+    assert not np.array_equal(np.asarray(out.pos[0]), np.asarray(out.pos[1]))
+    out2, _ = ensemble.run_ensemble(cfg, LJ, states, 5)
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(out2.pos))
+
+
+def test_parallel_tempering_swaps_and_conserves():
+    cfg = lj_cfg(n_atoms=64, box_length=10.0, cells_per_side=4, n_moves=5)
+    r = 4
+    states = ensemble.init_ensemble(cfg, r)
+    betas = jnp.linspace(0.1, 1.0, r)
+    out, swaps, e_hist = ensemble.parallel_tempering(
+        cfg, LJ, states, betas, jax.random.key(9), n_rounds=6,
+        sweeps_per_round=5)
+    assert int(out.occ.sum()) == r * cfg.n_atoms
+    assert e_hist.shape == (6, r)
+    # hotter replicas should not have systematically lower energy
+    assert float(e_hist[-3:, 0].mean()) >= float(e_hist[-3:, -1].mean()) - 5.0
+
+
+def test_swap_replicas_detailed():
+    cfg = lj_cfg(n_atoms=64, box_length=10.0, cells_per_side=4)
+    states = ensemble.init_ensemble(cfg, 2)
+    # make replica states differ
+    states, _ = ensemble.run_ensemble(cfg, LJ, states, 3)
+    betas = jnp.array([0.2, 1.0])
+    # beta_0 < beta_1 and E_0 vs E_1: force a certain swap by huge beta gap?
+    # just check it runs and permutation preserves multiset of configs
+    out, n = ensemble.swap_replicas(cfg, LJ, states, betas, jax.random.key(0),
+                                    jnp.int32(0))
+    a = np.sort(np.asarray(states.pos).ravel())
+    b = np.sort(np.asarray(out.pos).ravel())
+    np.testing.assert_array_equal(a, b)
