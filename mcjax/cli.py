@@ -1,0 +1,197 @@
+"""Command-line driver: configure, run, observe, dump, checkpoint.
+
+The reference is configured by editing ``#define``s and rebuilding with nvcc
+(kernel.cu:17-29); its only outputs are a printed energy trace and an optional
+dump file (kernel.cu:695-707).  This driver exposes the same observable
+behavior — per-sweep energy trace to stdout, OVITO-compatible dump — plus
+runtime configuration (flags or JSON), periodic exact energy re-anchoring
+(SURVEY.md Q9), checkpoints, and engine selection (XLA / Pallas).
+
+Usage examples:
+  python -m mcjax.cli --preset reference-lj            # the reference system
+  python -m mcjax.cli --model hard --dim 2 --n-atoms 65536 --phi 0.5 \
+      --sweeps 200 --engine pallas --dump traj.txt
+  python -m mcjax.cli --resume ck.npz --sweeps 100 --checkpoint ck.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mcjax",
+                                description="TPU-native parallel Monte Carlo")
+    p.add_argument("--preset", choices=["reference-lj", "hard-disk-64k"],
+                   help="canned configurations")
+    p.add_argument("--model", choices=["lj", "hard", "wca", "soft"],
+                   default="lj")
+    p.add_argument("--dim", type=int, default=3)
+    p.add_argument("--n-atoms", type=int, default=800)
+    p.add_argument("--box", type=float, default=None,
+                   help="box edge length (default: from --phi for hard)")
+    p.add_argument("--phi", type=float, default=None,
+                   help="packing fraction (hard models; sets box)")
+    p.add_argument("--cells-per-side", type=int, default=None)
+    p.add_argument("--nmax", type=int, default=None)
+    p.add_argument("--n-moves", type=int, default=15)
+    p.add_argument("--beta", type=float, default=0.3)
+    p.add_argument("--sigma", "--step-size", dest="step_size", type=float,
+                   default=0.5)
+    p.add_argument("--proposal", choices=["gaussian", "uniform"],
+                   default=None)
+    p.add_argument("--sweeps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--chunk", type=int, default=50,
+                   help="sweeps per device dispatch / print interval")
+    p.add_argument("--reanchor-every", type=int, default=0,
+                   help="recompute exact energy every k chunks (0=never)")
+    p.add_argument("--dump", type=str, default=None,
+                   help="write OVITO/LAMMPS trajectory to this file")
+    p.add_argument("--dump-every", type=int, default=1,
+                   help="record a frame every k chunks")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--gr", action="store_true",
+                   help="print g(r) histogram at the end")
+    p.add_argument("--config-json", type=str, default=None,
+                   help="load SimConfig fields from a JSON file")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def config_from_args(args) -> tuple["SimConfig", "Potential"]:
+    from mcjax.core.config import SimConfig
+    from mcjax.models.potentials import (HardSphere, LennardJones, SoftSphere,
+                                         WCA)
+
+    if args.preset == "reference-lj":
+        # the reference's canonical V2 system (kernel.cu:17-29)
+        cfg = SimConfig(dim=3, n_atoms=800, box_length=10.0, cells_per_side=4,
+                        nmax=30, n_moves=15, proposal="gaussian",
+                        step_size=0.5, beta=0.3, sweeps=args.sweeps,
+                        seed=args.seed)
+        return cfg, LennardJones(r_cut=2.5)
+    if args.preset == "hard-disk-64k":
+        args.model, args.dim, args.n_atoms, args.phi = "hard", 2, 65536, 0.5
+        args.proposal = args.proposal or "uniform"
+        args.step_size, args.beta, args.n_moves = 0.18, 1.0, 8
+
+    if args.config_json:
+        from mcjax.core.config import SimConfig as SC
+        cfg = SC(**json.load(open(args.config_json)))
+    else:
+        dim = args.dim
+        box = args.box
+        if box is None:
+            if args.phi is not None:
+                if dim == 2:
+                    box = math.sqrt(args.n_atoms * math.pi / 4 / args.phi)
+                else:
+                    box = (args.n_atoms * math.pi / 6 / args.phi) ** (1 / 3)
+            else:
+                raise SystemExit("need --box or --phi")
+        if args.model == "hard":
+            r_cut = 1.0
+        elif args.model == "wca":
+            r_cut = 2 ** (1 / 6)
+        else:
+            r_cut = 2.5
+        cps = args.cells_per_side
+        if cps is None:
+            cps = int(box // max(r_cut, 1.0))
+            cps -= cps % 2
+        nmax = args.nmax
+        if nmax is None:
+            from mcjax.core.config import SimConfig as SC
+            nmax = SC.auto_nmax(dim, args.n_atoms, box, cps)
+        proposal = args.proposal or ("uniform" if args.model == "hard"
+                                     else "gaussian")
+        from mcjax.core.config import SimConfig as SC
+        cfg = SC(dim=dim, n_atoms=args.n_atoms, box_length=box,
+                 cells_per_side=cps, nmax=nmax, n_moves=args.n_moves,
+                 proposal=proposal, step_size=args.step_size, beta=args.beta,
+                 sweeps=args.sweeps, seed=args.seed)
+
+    pot = {"lj": LennardJones(r_cut=2.5),
+           "hard": HardSphere(1.0),
+           "wca": WCA(),
+           "soft": SoftSphere()}[args.model]
+    cfg.validate_against(pot.r_cut)
+    return cfg, pot
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from mcjax.core.state import init_state
+    from mcjax.models.reference import total_energy
+    from mcjax.ops import cells
+    from mcjax.ops.sweep import run_sweeps, total_energy_cells
+    from mcjax.utils import io, observables
+
+    if args.resume:
+        cfg, state = io.load_checkpoint(args.resume)
+        _, pot = config_from_args(args)  # potential from flags
+        print(f"# resumed at sweep {int(state.sweep)}", file=sys.stderr)
+    else:
+        cfg, pot = config_from_args(args)
+        state = init_state(cfg)
+
+    if args.engine == "pallas":
+        from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
+    else:
+        runner = run_sweeps
+
+    e = float(total_energy_cells(cfg, pot, state.pos, state.occ))
+    if not args.quiet:
+        print(f"0: {e:.6f}")
+
+    frames = []
+    n_chunks = max(1, cfg.sweeps // args.chunk)
+    t_start = time.perf_counter()
+    proposed = accepted = 0
+    for c in range(n_chunks):
+        state, m = runner(cfg, pot, state, args.chunk)
+        de = float(jnp.sum(m.delta_e))
+        accepted += int(jnp.sum(m.accepted))
+        proposed += int(jnp.sum(m.proposed))
+        e += de
+        if args.reanchor_every and (c + 1) % args.reanchor_every == 0:
+            e = float(total_energy_cells(cfg, pot, state.pos, state.occ))
+        if not args.quiet:
+            print(f"{int(state.sweep)}: {e:.6f}")
+        if args.dump and (c + 1) % args.dump_every == 0:
+            frames.append(np.asarray(cells.unbin(cfg, state.pos, state.occ)))
+        if args.checkpoint:
+            io.save_checkpoint(args.checkpoint, cfg, state)
+    dt = time.perf_counter() - t_start
+
+    if args.dump and frames:
+        io.write_lammps_dump(args.dump, np.stack(frames), cfg.box_length)
+        print(f"# wrote {len(frames)} frames to {args.dump}", file=sys.stderr)
+    if args.gr:
+        r = cells.unbin(cfg, state.pos, state.occ)
+        centers, g = observables.radial_distribution(
+            r, cfg.box_length, 64, cfg.box_length / 4, cfg.dim)
+        for cc, gg in zip(np.asarray(centers), np.asarray(g)):
+            print(f"g {cc:.4f} {gg:.4f}")
+    acc = accepted / max(proposed, 1)
+    rate = proposed / dt
+    print(f"# {int(state.sweep)} sweeps; acceptance {acc:.3f}; "
+          f"{rate:.3e} trial moves/s; overflow {bool(state.overflow)}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -31,7 +31,8 @@ class Potential(Protocol):
     """Structural interface all models satisfy."""
 
     r_cut: float
-    has_energy: bool  # False for pure hard-core models (skip exp in accept)
+    has_energy: bool      # False for pure hard-core models (skip exp in accept)
+    has_hard_core: bool   # True if overlap() can ever be True
 
     def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray: ...
 
@@ -57,6 +58,7 @@ class LennardJones:
     r_cut: float = 2.5
     shift: bool = False
     has_energy: bool = dataclasses.field(default=True, init=False)
+    has_hard_core: bool = dataclasses.field(default=False, init=False)
 
     def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
         inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
@@ -81,6 +83,7 @@ class HardSphere:
 
     diameter: float = 1.0
     has_energy: bool = dataclasses.field(default=False, init=False)
+    has_hard_core: bool = dataclasses.field(default=True, init=False)
 
     @property
     def r_cut(self) -> float:
@@ -102,6 +105,7 @@ class SoftSphere:
     exponent: int = 12
     r_cut: float = 2.5
     has_energy: bool = dataclasses.field(default=True, init=False)
+    has_hard_core: bool = dataclasses.field(default=False, init=False)
 
     def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
         inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
@@ -119,6 +123,7 @@ class WCA:
     epsilon: float = 1.0
     sigma: float = 1.0
     has_energy: bool = dataclasses.field(default=True, init=False)
+    has_hard_core: bool = dataclasses.field(default=False, init=False)
 
     @property
     def r_cut(self) -> float:

@@ -1,0 +1,298 @@
+"""Fused Pallas TPU sub-sweep kernel — the hot loop (SURVEY.md §7 step 4).
+
+TPU-native replacement for the reference's ``subSweep`` CUDA kernel
+(kernel.cu:209-435).  Where the reference assigns a 1000-thread block per cell
+and reduces pair energies through shared memory (kernel.cu:353-379), this
+kernel lays the *cells* out on the VPU lanes:
+
+  * state is re-laid as coordinate planes ``[dim*nmax, R, C]`` (one (R, C)
+    cell-grid plane per slot coordinate; R = flattened leading block axes,
+    C = last block axis on the 128-wide lane dimension);
+  * the 3^dim-1 neighbor slabs (pre-rolled by XLA from the other color
+    blocks, which are frozen during the sub-sweep) come in as
+    ``[dim*K*nmax, R, C]`` planes;
+  * one grid step owns a (TR, TC) tile of cells and runs the full n_M-move
+    Metropolis chain for all of them entirely in VMEM/registers — per-pair
+    work is an unrolled loop of [TR, TC] vector ops, so every lane is a cell
+    advancing its own chain in lock-step;
+  * per-cell dE / acceptance accumulate into [R, C] output maps (the
+    reference's d_Eblocks equivalent, kernel.cu:248/415, without the
+    per-launch D2H copy).
+
+Randomness comes from the same ``substep_randoms`` Threefry tensors as the
+XLA path, so for hard-core models (accept decisions without FP accumulation
+order) the two engines are bitwise identical — the strongest possible kernel
+test.
+
+For pure hard-core models the kernel skips energy evaluation entirely
+(overlap test on the new position only), roughly halving the pair work; for
+smooth potentials it evaluates old/new energies with the exact masked sums
+(no dropped reduction strides — SURVEY.md Q1).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import SimState
+from mcjax.models.potentials import Potential
+from mcjax.ops import cells
+from mcjax.ops import sweep as xla_sweep
+from mcjax.ops.cells import ShiftFn, roll_shift_fn
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _min_image_sel(d, box_length):
+    """Minimum image via selects (|d| < L always holds here); cheaper than
+    round/divide inside the kernel."""
+    half = box_length / 2.0
+    d = jnp.where(d > half, d - box_length, d)
+    return jnp.where(d < -half, d + box_length, d)
+
+
+def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
+                 beta_static: float | None):
+    """Build the kernel body (closure over static config/potential)."""
+    dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    box = cfg.box_length
+    w = cfg.cell_width
+    hard = pot.has_hard_core
+    energetic = pot.has_energy
+
+    def kernel(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
+               pick_ref, disp_ref, accu_ref, beta_ref,
+               out_ref, de_ref, acc_ref):
+        occ = occ_ref[0]                      # [TR, TC] int32
+        occf = occ.astype(jnp.float32)
+        nonempty = occ > 0
+        out_ref[:] = own_ref[:]
+        beta = beta_static if beta_static is not None else beta_ref[0, 0]
+
+        nbr_valid = [nbrocc_ref[k] for k in range(n_k)]  # [TR, TC] i32 each
+
+        def fetch_plane(ref, idx):
+            return ref[idx]
+
+        def move_body(m, carry):
+            de_acc, acc_acc = carry
+            pick = pick_ref[m]
+            p = jnp.floor(pick * occf).astype(jnp.int32)
+            p = jnp.minimum(p, jnp.maximum(occ - 1, 0))
+
+            # select the moving particle's coordinates (one-hot over slots)
+            old = []
+            for d in range(dim):
+                v = out_ref[d * nmax]
+                for j in range(1, nmax):
+                    v = jnp.where(p == j, out_ref[d * nmax + j], v)
+                old.append(v)
+            new = [old[d] + disp_ref[m * dim + d] for d in range(dim)]
+
+            # in-cell rejection (detailed balance; kernel.cu:192-206)
+            oob = jnp.zeros_like(nonempty)
+            for d in range(dim):
+                lb = lb_ref[d]
+                oob = oob | (new[d] < lb) | (new[d] >= lb + w)
+
+            zero = jnp.zeros_like(old[0])
+            e_old = zero
+            e_new = zero
+            ov_new = jnp.zeros_like(nonempty)
+
+            def accumulate(xs_old, xs_new, valid, e_old, e_new, ov_new):
+                r2n = zero
+                for d in range(dim):
+                    dn = _min_image_sel(xs_new[d], box)
+                    r2n = r2n + dn * dn
+                if energetic:
+                    r2o = zero
+                    for d in range(dim):
+                        do = _min_image_sel(xs_old[d], box)
+                        r2o = r2o + do * do
+                    e_old = e_old + jnp.where(valid, pot.pair_energy(r2o), 0.0)
+                    e_new = e_new + jnp.where(valid, pot.pair_energy(r2n), 0.0)
+                if hard:
+                    ov_new = ov_new | (valid & pot.overlap(r2n))
+                return e_old, e_new, ov_new
+
+            # neighbor-cell pairs (frozen during the sub-sweep)
+            for k in range(n_k):
+                for j in range(nmax):
+                    valid = j < nbr_valid[k]
+                    xs_old, xs_new = [], []
+                    for d in range(dim):
+                        nb = nbr_ref[(d * n_k + k) * nmax + j]
+                        xs_old.append(old[d] - nb)
+                        xs_new.append(new[d] - nb)
+                    e_old, e_new, ov_new = accumulate(
+                        xs_old, xs_new, valid, e_old, e_new, ov_new)
+
+            # own-cell pairs (excluding the moving particle)
+            for j in range(nmax):
+                valid = (j < occ) & (p != j)
+                xs_old, xs_new = [], []
+                for d in range(dim):
+                    nb = out_ref[d * nmax + j]
+                    xs_old.append(old[d] - nb)
+                    xs_new.append(new[d] - nb)
+                e_old, e_new, ov_new = accumulate(
+                    xs_old, xs_new, valid, e_old, e_new, ov_new)
+
+            de = e_new - e_old
+            accept = nonempty & jnp.logical_not(oob)
+            if hard:
+                accept = accept & jnp.logical_not(ov_new)
+            if energetic:
+                accept = accept & (accu_ref[m] < jnp.exp(-beta * de))
+
+            for j in range(nmax):
+                selj = accept & (p == j)
+                for d in range(dim):
+                    idx = d * nmax + j
+                    out_ref[idx] = jnp.where(selj, new[d], out_ref[idx])
+
+            de_acc = de_acc + jnp.where(accept, de, 0.0)
+            acc_acc = acc_acc + accept.astype(jnp.int32)
+            return de_acc, acc_acc
+
+        zf = jnp.zeros(occ.shape, jnp.float32)
+        zi = jnp.zeros(occ.shape, jnp.int32)
+        de_acc, acc_acc = jax.lax.fori_loop(0, n_m, move_body, (zf, zi))
+        de_ref[0] = de_acc
+        acc_ref[0] = acc_acc
+
+    return kernel
+
+
+def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
+                         pos: jax.Array, occ: jax.Array, key: jax.Array,
+                         shift_fn: ShiftFn = roll_shift_fn,
+                         beta: jax.Array | float | None = None,
+                         block_offset: jax.Array | None = None,
+                         *, tile_rows: int = 8, tile_cols: int = 128,
+                         interpret: bool = False
+                         ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Drop-in replacement for sweep.color_substep backed by the Pallas kernel.
+
+    Single-chip only (neighbor slabs are pre-rolled with jnp.roll).
+    """
+    assert block_offset is None, "pallas substep is single-chip (use XLA path on meshes)"
+    dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    bs = cfg.block_shape
+    n_k = cfg.n_neighbors - 1
+    rows = math.prod(bs[:-1])
+    cols = bs[-1]
+
+    own = pos[color]
+    own_occ = occ[color]
+    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
+    pick_u, disp, acc_u = xla_sweep.substep_randoms(cfg, key, bs)
+    lb = xla_sweep._cell_lower_bounds(cfg, color, bs, None)
+
+    # ---- re-lay to coordinate planes [planes, rows, cols] -----------------
+    def planes(x, lead):  # x: [*lead_dims, *bs_like..., trailing dims moved front]
+        return x.reshape((lead, rows, cols))
+
+    own_p = jnp.moveaxis(own, (-1, -2), (0, 1)).reshape(dim * nmax, rows, cols)
+    nbr_p = jnp.moveaxis(nbr_pos, (-1, 0, -2), (0, 1, 2)).reshape(
+        dim * n_k * nmax, rows, cols)
+    occ_p = own_occ.reshape(1, rows, cols)
+    nbrocc_p = nbr_occ.reshape(n_k, rows, cols)
+    lb_p = jnp.moveaxis(lb, -1, 0).reshape(dim, rows, cols)
+    pick_p = pick_u.reshape(n_m, rows, cols)
+    disp_p = jnp.moveaxis(disp, -1, 1).reshape(n_m * dim, rows, cols)
+    accu_p = acc_u.reshape(n_m, rows, cols)
+
+    # ---- pad to tile multiples (padded cells are empty -> inert) ----------
+    rp = _round_up(max(rows, tile_rows), tile_rows)
+    cp = _round_up(max(cols, tile_cols), tile_cols)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, rp - rows), (0, cp - cols)))
+
+    own_p, nbr_p, occ_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p = map(
+        pad, (own_p, nbr_p, occ_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p))
+
+    beta_static = None
+    if beta is None:
+        beta_static = cfg.beta
+        beta_arr = jnp.zeros((1, 1), jnp.float32)
+    elif isinstance(beta, (int, float)):
+        beta_static = float(beta)
+        beta_arr = jnp.zeros((1, 1), jnp.float32)
+    else:
+        beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+
+    kernel = _make_kernel(cfg, pot, n_k, beta_static)
+    grid = (rp // tile_rows, cp // tile_cols)
+
+    def bspec(lead):
+        return pl.BlockSpec((lead, tile_rows, tile_cols),
+                            lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((dim * nmax, rp, cp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32),
+    )
+    vmem_bytes = 4 * tile_rows * tile_cols * (
+        2 * dim * nmax + 1 + dim * n_k * nmax + n_k + dim
+        + n_m * (2 + dim) + 4) + 2 * 1024 * 1024
+
+    own_new_p, de_map, acc_map = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec(dim * nmax), bspec(1), bspec(dim * n_k * nmax),
+            bspec(n_k), bspec(dim), bspec(n_m), bspec(n_m * dim),
+            bspec(n_m),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(bspec(dim * nmax), bspec(1), bspec(1)),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)),
+        interpret=interpret,
+    )(own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p, beta_arr)
+
+    # ---- unpad + back to canonical slab layout ----------------------------
+    own_new = own_new_p[:, :rows, :cols].reshape(dim, nmax, *bs)
+    own_new = jnp.moveaxis(own_new, (0, 1), (-1, -2))
+    de = jnp.sum(de_map[0, :rows, :cols])
+    n_acc = jnp.sum(acc_map[0, :rows, :cols])
+    n_prop = n_m * jnp.sum((own_occ > 0).astype(jnp.int32))
+    return own_new, de, n_acc, n_prop
+
+
+def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
+                        interpret: bool = False):
+    """A color_substep-compatible function with chosen tiling."""
+    return partial(pallas_color_substep, tile_rows=tile_rows,
+                   tile_cols=tile_cols, interpret=interpret)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
+def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
+                      n_sweeps: int, tile_rows: int = 8, tile_cols: int = 128,
+                      interpret: bool = False
+                      ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
+    """run_sweeps with the Pallas sub-sweep kernel (single chip)."""
+    substep = make_pallas_substep(tile_rows, tile_cols, interpret)
+
+    def body(st, _):
+        st, m = xla_sweep.mc_sweep(cfg, pot, st, substep_fn=substep)
+        return st, m
+
+    return jax.lax.scan(body, state, length=n_sweeps)

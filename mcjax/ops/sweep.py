@@ -75,6 +75,26 @@ def _cell_lower_bounds(cfg: SimConfig, color: int,
     return jnp.stack(lbs, axis=-1)
 
 
+def substep_randoms(cfg: SimConfig, key: jax.Array, bs: tuple[int, ...]
+                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The per-color-substep random tensors: particle picks, displacements,
+    acceptance uniforms. Factored out so the XLA and Pallas sub-sweep
+    implementations consume *identical* Threefry streams (the Pallas path is
+    then bitwise-testable against the XLA path for hard-core models, whose
+    accept decisions involve no floating-point accumulation order)."""
+    n_m, dim = cfg.n_moves, cfg.dim
+    k_pick, k_disp, k_acc = jax.random.split(key, 3)
+    pick_u = jax.random.uniform(k_pick, (n_m, *bs))
+    if cfg.proposal == "gaussian":
+        # <- make_move: new = old + N(0,1)*sigma (kernel.cu:184-189)
+        disp = cfg.step_size * jax.random.normal(k_disp, (n_m, *bs, dim))
+    else:
+        disp = jax.random.uniform(k_disp, (n_m, *bs, dim),
+                                  minval=-cfg.step_size, maxval=cfg.step_size)
+    acc_u = jax.random.uniform(k_acc, (n_m, *bs))
+    return pick_u, disp, acc_u
+
+
 def color_substep(cfg: SimConfig, pot: Potential, color: int,
                   pos: jax.Array, occ: jax.Array, key: jax.Array,
                   shift_fn: ShiftFn = roll_shift_fn,
@@ -103,15 +123,7 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     lb = _cell_lower_bounds(cfg, color, bs, block_offset)  # [*bs, dim]
     w = cfg.cell_width
 
-    k_pick, k_disp, k_acc = jax.random.split(key, 3)
-    pick_u = jax.random.uniform(k_pick, (n_m, *bs))
-    if cfg.proposal == "gaussian":
-        # <- make_move: new = old + N(0,1)*sigma (kernel.cu:184-189)
-        disp = cfg.step_size * jax.random.normal(k_disp, (n_m, *bs, dim))
-    else:
-        disp = jax.random.uniform(k_disp, (n_m, *bs, dim),
-                                  minval=-cfg.step_size, maxval=cfg.step_size)
-    acc_u = jax.random.uniform(k_acc, (n_m, *bs))
+    pick_u, disp, acc_u = substep_randoms(cfg, key, bs)
 
     slot_ids = jnp.arange(nmax)
     nonempty = own_occ > 0
@@ -182,7 +194,8 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
              shift_fn: ShiftFn = roll_shift_fn,
              beta: jax.Array | float | None = None,
              block_offset: jax.Array | None = None,
-             shard_id: jax.Array | None = None
+             shard_id: jax.Array | None = None,
+             substep_fn=None,
              ) -> tuple[SimState, SweepMetrics]:
     """One full MC sweep: shuffled colors x sub-sweeps, then a random grid shift.
 
@@ -200,9 +213,12 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
         k_sub = jax.random.fold_in(k_sub, shard_id)
     perm = jax.random.permutation(k_perm, n_colors)  # true FY (fixes Q4)
 
+    if substep_fn is None:
+        substep_fn = color_substep
+
     def substep_branch(color: int, pos, occ, k):
-        own_new, de, na, np_ = color_substep(cfg, pot, color, pos, occ, k,
-                                             shift_fn, beta, block_offset)
+        own_new, de, na, np_ = substep_fn(cfg, pot, color, pos, occ, k,
+                                          shift_fn, beta, block_offset)
         return pos.at[color].set(own_new), de, na, np_
 
     branches = [partial(substep_branch, c) for c in range(n_colors)]
