@@ -119,52 +119,63 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     own_occ = occ[color]                   # [*bs]
     bs = own.shape[:-2]
     nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
-    nbr_valid = (jnp.arange(nmax) < nbr_occ[..., None])   # [K, *bs, nmax]
     lb = _cell_lower_bounds(cfg, color, bs, block_offset)  # [*bs, dim]
     w = cfg.cell_width
 
     pick_u, disp, acc_u = substep_randoms(cfg, key, bs)
 
-    slot_ids = jnp.arange(nmax)
+    # --- re-lay everything as coordinate planes: trailing axes = the cell
+    # grid, so the big spatial extent sits on the TPU lane/sublane dims.
+    # (With the canonical [..., nmax, dim] orientation the vector units would
+    # run at dim/128 lane occupancy — ~50x waste.) The Pallas kernel uses the
+    # identical layout; this is its pure-XLA twin.
+    ownp = jnp.moveaxis(own, (-1, -2), (0, 1))            # [dim, nmax, *bs]
+    nbrp = jnp.moveaxis(nbr_pos, (-1, 0, -2), (0, 1, 2))  # [dim, K, nmax, *bs]
+    lbp = jnp.moveaxis(lb, -1, 0)                         # [dim, *bs]
+    dispp = jnp.moveaxis(disp, -1, 1)                     # [n_M, dim, *bs]
+
+    slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+    nbr_valid = slot[None] < nbr_occ[:, None]             # [K, nmax, *bs]
+    own_count = own_occ[None]                             # [1, *bs]
     nonempty = own_occ > 0
 
-    def energy_at(x, own_cur, sel):
-        """Energy + overlap of a particle at x [*bs, dim] vs its neighborhood.
+    def energy_at(x, ownp_cur, sel):
+        """Energy + overlap of a particle at x [dim, *bs] vs its neighborhood.
 
-        sel is the one-hot [*bs, nmax] of the moving particle (excluded from
+        sel is the one-hot [nmax, *bs] of the moving particle (excluded from
         the own-cell sum). Replaces the per-thread pair loop + shared-memory
         tree reduction of the reference (kernel.cu:315-379) with masked
         vectorized sums — exact, no dropped strides (SURVEY.md Q1).
         """
-        d_own = min_image(x[..., None, :] - own_cur, cfg.box_length)
-        r2_own = jnp.sum(d_own * d_own, axis=-1)             # [*bs, nmax]
-        valid_own = (slot_ids < own_occ[..., None]) & ~sel
+        d_own = min_image(x[:, None] - ownp_cur, cfg.box_length)
+        r2_own = jnp.sum(d_own * d_own, axis=0)           # [nmax, *bs]
+        valid_own = (slot < own_count) & ~sel
         e_o, ov_o = pair_interaction(pot, r2_own, valid_own)
 
-        d_nbr = min_image(x[None, ..., None, :] - nbr_pos, cfg.box_length)
-        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=-1)             # [K, *bs, nmax]
+        d_nbr = min_image(x[:, None, None] - nbrp, cfg.box_length)
+        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=0)           # [K, nmax, *bs]
         e_n, ov_n = pair_interaction(pot, r2_nbr, nbr_valid)
 
-        e = jnp.sum(e_o, axis=-1) + jnp.sum(e_n, axis=(0, -1))
-        ov = jnp.any(ov_o, axis=-1) | jnp.any(ov_n, axis=(0, -1))
+        e = jnp.sum(e_o, axis=0) + jnp.sum(e_n, axis=(0, 1))
+        ov = jnp.any(ov_o, axis=0) | jnp.any(ov_n, axis=(0, 1))
         return e, ov
 
     def move_body(m, carry):
-        own_cur, de_sum, n_acc = carry
+        ownp_cur, de_sum, n_acc = carry
         # Uniform random particle pick (symmetric selection kernel).
         p = jnp.floor(pick_u[m] * own_occ.astype(jnp.float32)).astype(jnp.int32)
         p = jnp.minimum(p, jnp.maximum(own_occ - 1, 0))
-        sel = slot_ids == p[..., None]                       # [*bs, nmax]
+        sel = slot == p[None]                             # [nmax, *bs]
 
-        old = jnp.sum(jnp.where(sel[..., None], own_cur, 0.0), axis=-2)
-        new = old + disp[m]
+        old = jnp.sum(jnp.where(sel[None], ownp_cur, 0.0), axis=1)  # [dim,*bs]
+        new = old + dispp[m]
 
         # In-cell rejection (detailed balance under checkerboard decomposition;
         # <- out_of_bound, kernel.cu:192-206). Cell covers [lb, lb + w).
-        oob = jnp.any((new < lb) | (new >= lb + w), axis=-1)
+        oob = jnp.any((new < lbp) | (new >= lbp + w), axis=0)
 
-        e_old, _ = energy_at(old, own_cur, sel)
-        e_new, ov_new = energy_at(new, own_cur, sel)
+        e_old, _ = energy_at(old, ownp_cur, sel)
+        e_new, ov_new = energy_at(new, ownp_cur, sel)
         de = e_new - e_old
 
         if pot.has_energy:
@@ -173,19 +184,20 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
             metro = jnp.ones_like(oob)  # pure hard-core: dE == 0
         accept = nonempty & ~oob & ~ov_new & metro
 
-        upd = accept[..., None, None] & sel[..., None]
-        own_cur = jnp.where(upd, new[..., None, :], own_cur)
+        upd = accept[None] & sel                          # [nmax, *bs]
+        ownp_cur = jnp.where(upd[None], new[:, None], ownp_cur)
         de_sum = de_sum + jnp.sum(jnp.where(accept, de, 0.0))
         n_acc = n_acc + jnp.sum(accept)
-        return own_cur, de_sum, n_acc
+        return ownp_cur, de_sum, n_acc
 
     # Accumulator zeros derived from sharded data so they inherit its
     # varying-manual-axes type under shard_map (plain literals are
     # "replicated" and would clash with the loop-carry type).
     zf = own[(0,) * own.ndim] * 0.0
     zi = own_occ[(0,) * own_occ.ndim] * 0
-    own_new, de_sum, n_acc = jax.lax.fori_loop(
-        0, n_m, move_body, (own, zf, zi))
+    ownp_new, de_sum, n_acc = jax.lax.fori_loop(
+        0, n_m, move_body, (ownp, zf, zi))
+    own_new = jnp.moveaxis(ownp_new, (0, 1), (-1, -2))
     n_prop = n_m * jnp.sum(nonempty.astype(jnp.int32))
     return own_new, de_sum, n_acc, n_prop
 

@@ -1,0 +1,53 @@
+"""Pallas kernel correctness vs the XLA engine (interpret mode on CPU).
+
+The two engines consume identical Threefry streams (sweep.substep_randoms), so
+for hard-core models — whose accept decisions involve no FP accumulation
+order — the Pallas kernel must be *bitwise* identical to the XLA sub-sweep.
+(The same check compiled on real TPU hardware is part of the bench harness.)
+"""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.potentials import HardSphere, LennardJones
+from mcjax.ops.pallas_sweep import pallas_color_substep
+from mcjax.ops.sweep import color_substep
+
+
+def test_pallas_hard_disks_bitwise_vs_xla():
+    n = 36
+    box = math.sqrt(n * math.pi / 4 / 0.4)
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=8,
+                    nmax=4, n_moves=3, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg, seed=0)
+    k = jax.random.key(7)
+    for color in range(4):
+        a = color_substep(cfg, hs, color, st.pos, st.occ, k)
+        b = pallas_color_substep(cfg, hs, color, st.pos, st.occ, k,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert int(a[2]) == int(b[2])
+        assert int(a[3]) == int(b[3])
+
+
+@pytest.mark.slow
+def test_pallas_lj_3d_matches_xla():
+    cfg = SimConfig(dim=3, n_atoms=27, box_length=8.0, cells_per_side=4,
+                    nmax=4, n_moves=2, beta=0.3, step_size=0.4)
+    lj = LennardJones(r_cut=2.0)
+    st = init_state(cfg, seed=0)
+    k = jax.random.key(3)
+    for color in range(8):
+        a = color_substep(cfg, lj, color, st.pos, st.occ, k)
+        b = pallas_color_substep(cfg, lj, color, st.pos, st.occ, k,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(a[1]), float(b[1]), atol=1e-3)
