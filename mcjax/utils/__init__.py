@@ -1,3 +1,3 @@
-from mcjax.utils import io, observables
+from mcjax.utils import debug, io, observables, profiling
 
-__all__ = ["io", "observables"]
+__all__ = ["debug", "io", "observables", "profiling"]
