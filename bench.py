@@ -66,9 +66,11 @@ def main() -> None:
     else:
         from mcjax.ops.sweep import run_sweeps as runner
 
-    # warmup / compile. NB: through the remote-TPU tunnel block_until_ready
-    # can be a no-op, so force completion by fetching a scalar to host.
-    st, m = runner(cfg, pot, state, args.warmup)
+    # Warmup must use the SAME static sweep count as the timed call (a
+    # different scan length is a fresh compile, which would land inside the
+    # timed region). Through the remote-TPU tunnel block_until_ready can be a
+    # no-op, so force completion by fetching a scalar to host.
+    st, m = runner(cfg, pot, state, args.sweeps)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
 
     t0 = time.perf_counter()

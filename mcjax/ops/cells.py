@@ -230,27 +230,39 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
         own_p, own_o = newpos[color], occ[color]
         don_p = shift_fn(newpos[src_color], shifts)
         don_o = shift_fn(occ[src_color], shifts)
+        nmax = cfg.nmax
+        bs_local = own_o.shape
 
-        cand_p = jnp.concatenate([own_p, don_p], axis=-2)  # [*bs, 2nmax, dim]
+        # Coordinate-planes layout: trailing axes = cell grid (lane-friendly);
+        # compaction is a cumsum + one-hot select — no sort, no gather
+        # (argsort-based compaction costs ~100ms/sweep at 1M particles on TPU).
+        ownp = jnp.moveaxis(own_p, (-1, -2), (0, 1))   # [dim, nmax, *bs]
+        donp = jnp.moveaxis(don_p, (-1, -2), (0, 1))
+        cand = jnp.concatenate([ownp, donp], axis=1)   # [dim, 2nmax, *bs]
+
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs_local))
         cand_valid = jnp.concatenate(
-            [jnp.arange(cfg.nmax) < own_o[..., None],
-             jnp.arange(cfg.nmax) < don_o[..., None]], axis=-1)
+            [slot < own_o[None], slot < don_o[None]], axis=0)  # [2nmax, *bs]
 
         # Does candidate belong to this cell along `axis` after the shift?
+        xk = cand[axis]                                # [2nmax, *bs]
         cell_k = jnp.floor(
-            (cand_p[..., axis] + cfg.box_length / 2.0) / w).astype(jnp.int32)
+            (xk + cfg.box_length / 2.0) / w).astype(jnp.int32)
         cell_k = jnp.clip(cell_k, 0, cfg.cells_per_side - 1)
-        bs_local = own_o.shape
         bk = jax.lax.broadcasted_iota(jnp.int32, bs_local, axis)
         if block_offset is not None:
             bk = bk + block_offset[axis]
-        my_k = (2 * bk + o[axis])[..., None]
-        belongs = cand_valid & (cell_k == my_k)
+        my_k = (2 * bk + o[axis])[None]
+        belongs = cand_valid & (cell_k == my_k)        # [2nmax, *bs]
 
-        order = jnp.argsort(~belongs, axis=-1, stable=True)
-        merged = jnp.take_along_axis(cand_p, order[..., None], axis=-2)
-        merged = merged[..., : cfg.nmax, :]
-        new_occ = jnp.sum(belongs, axis=-1).astype(jnp.int32)
+        csum = jnp.cumsum(belongs.astype(jnp.int32), axis=0)
+        dest = csum - 1                                # kept item -> out slot
+        new_occ = csum[-1]
+        out = jnp.zeros((dim, nmax) + bs_local, cand.dtype)
+        for j in range(2 * nmax):
+            hit = belongs[j][None] & (dest[j][None] == slot)   # [nmax, *bs]
+            out = jnp.where(hit[None], cand[:, j][:, None], out)
+        merged = jnp.moveaxis(out, (0, 1), (-1, -2))
         return merged, new_occ
 
     def build(donor_dir: int):
