@@ -6,7 +6,7 @@ random grid shifts for ergodicity, cell-list neighbor energy evaluation,
 LJ / hard-particle models, energy & acceptance & trajectory observables),
 re-designed TPU-first:
 
-* state lives in *color-blocked cell slabs* ``pos[2^dim, (cps/2)^dim..., nmax, dim]``
+* state lives in *color-blocked coordinate planes* ``pos[2^dim, dim, nmax, (cps/2)^dim...]``
   so checkerboard neighbor access is a shifted read (``jnp.roll`` on one chip,
   halo ``ppermute`` across a mesh) instead of a gather;
 * a full MC sweep (all 2^dim colors × n_M moves + grid shift) is one traced

@@ -6,7 +6,7 @@ array ``short n[CPS3]`` (kernel.cu:599).  mcjax keeps the same fixed-capacity
 slab idea (it is what makes ragged cells vectorizable) but reorganizes it
 TPU-first into *color-blocked* slabs:
 
-    pos[color, b1, ..., b_dim, nmax, dim]   float32
+    pos[color, dim, nmax, b1, ..., b_dim]   float32   (coordinate planes)
     occ[color, b1, ..., b_dim]              int32
 
 where ``color`` is the 2^dim checkerboard parity class of the cell and
@@ -33,8 +33,9 @@ class SimState:
     """Full MC state; a pytree (so it can be scanned, vmapped, sharded).
 
     Attributes:
-      pos: [n_colors, *block_shape, nmax, dim] cell slabs, global coordinates
-        in [-L/2, L/2). Entries with index >= occ are garbage and always
+      pos: [n_colors, dim, nmax, *block_shape] coordinate planes, global
+        coordinates in [-L/2, L/2); the cell grid occupies the trailing
+        (TPU lane) axes. Slots with index >= occ are garbage and always
         masked.
       occ: [n_colors, *block_shape] per-cell particle counts.
       key: Threefry key; the root of the run's deterministic randomness tree
@@ -58,7 +59,7 @@ class SimState:
 def zeros_state(cfg: SimConfig, key: jax.Array) -> SimState:
     """Empty state with correctly-shaped buffers."""
     return SimState(
-        pos=jnp.zeros((cfg.n_colors, *cfg.block_shape, cfg.nmax, cfg.dim),
+        pos=jnp.zeros((cfg.n_colors, cfg.dim, cfg.nmax, *cfg.block_shape),
                       jnp.float32),
         occ=jnp.zeros((cfg.n_colors, *cfg.block_shape), jnp.int32),
         key=key,

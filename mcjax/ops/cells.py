@@ -21,8 +21,14 @@ TPU-native replacements for the reference's cell-list components
 
 Cell indexing convention: coordinate x_k in [-L/2, L/2); cell index
 c_k = floor((x_k + L/2)/w); parity bit o_k = c_k & 1; block index b_k = c_k >> 1;
-color id = sum_k o_k << k. State arrays are [color, b_0, ..., b_{dim-1}, nmax, dim]
-with spatial axis k of the array matching coordinate component k.
+color id = sum_k o_k << k. State arrays are in *coordinate-planes* layout:
+
+    pos[color, dim, nmax, b_0, ..., b_{dim-1}]     occ[color, b_0, ..., b_{dim-1}]
+
+i.e. the cell grid occupies the TRAILING axes (the TPU lane/sublane dims), so
+every bulk operation is an elementwise op across cells at full vector width;
+trailing spatial axis k matches coordinate component k. (A [..., nmax, dim]
+orientation would run the VPU at dim/128 lane occupancy.)
 """
 
 from __future__ import annotations
@@ -38,17 +44,20 @@ import numpy as np
 from mcjax.core.config import SimConfig
 from mcjax.core.geometry import wrap_into_box
 
-# A shift function applies a static per-axis cell shift to a color block
-# (axes 0..dim-1 spatial). Single-chip default is jnp.roll; the mesh layer
-# substitutes a halo-exchange version (mcjax.parallel.mesh.halo_shift_fn).
+# A shift function applies a static per-axis cell shift to a color block whose
+# TRAILING len(shifts) axes are the spatial cell grid (works for pos blocks
+# [dim, nmax, *bs] and occ blocks [*bs] alike). Single-chip default is
+# jnp.roll; the mesh layer substitutes a halo-exchange version
+# (mcjax.parallel.mesh.make_halo_shift_fn).
 ShiftFn = Callable[[jax.Array, Sequence[int]], jax.Array]
 
 
 def roll_shift_fn(block: jax.Array, shifts: Sequence[int]) -> jax.Array:
     """Read block at cell offset ``shifts``: out[b] = block[b + shifts] (PBC)."""
+    dim = len(shifts)
     for ax, s in enumerate(shifts):
         if s:
-            block = jnp.roll(block, -s, axis=ax)
+            block = jnp.roll(block, -s, axis=ax - dim)
     return block
 
 
@@ -137,7 +146,7 @@ def bin_particles(cfg: SimConfig, positions: jax.Array
     flagged instead of silently corrupting memory — SURVEY.md Q7).
 
     Returns:
-      pos [ncolors, *bs, nmax, dim], occ [ncolors, *bs], overflow bool.
+      pos [ncolors, dim, nmax, *bs], occ [ncolors, *bs], overflow bool.
     """
     n = positions.shape[0]
     positions = wrap_into_box(positions, cfg.box_length)
@@ -157,6 +166,8 @@ def bin_particles(cfg: SimConfig, positions: jax.Array
     occ = jnp.minimum(occ, cfg.nmax)
 
     pos = slabs.reshape((cfg.n_colors, *cfg.block_shape, cfg.nmax, cfg.dim))
+    # cold-path transpose into the canonical coordinate-planes layout
+    pos = jnp.moveaxis(pos, (-1, -2), (1, 2))
     occ = occ.reshape((cfg.n_colors, *cfg.block_shape))
     return pos, occ, overflow
 
@@ -167,6 +178,7 @@ def unbin(cfg: SimConfig, pos: jax.Array, occ: jax.Array) -> jax.Array:
     Inverse of ``bin_particles``; the reference analogue is ``disk_to_r``
     (kernel.cu:497-507). Requires sum(occ) == cfg.n_atoms.
     """
+    pos = jnp.moveaxis(pos, (1, 2), (-1, -2))  # back to [colors, *bs, nmax, dim]
     flat_pos = pos.reshape((-1, cfg.nmax, cfg.dim)).reshape((-1, cfg.dim))
     valid = (jnp.arange(cfg.nmax)[None, :]
              < occ.reshape((-1,))[:, None]).reshape((-1,))
@@ -179,20 +191,48 @@ def unbin(cfg: SimConfig, pos: jax.Array, occ: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def neighbor_stack(cfg: SimConfig, pos: jax.Array, occ: jax.Array, color: int,
-                   shift_fn: ShiftFn = roll_shift_fn
-                   ) -> tuple[jax.Array, jax.Array]:
+                   shift_fn: ShiftFn = roll_shift_fn,
+                   block_offset: jax.Array | None = None,
+                   unwrap: bool = True) -> tuple[jax.Array, jax.Array]:
     """All 3^dim - 1 neighbor slabs of every active cell of ``color``.
 
     Returns:
-      nbr_pos [K, *bs, nmax, dim], nbr_occ [K, *bs] with K = 3^dim - 1.
+      nbr_pos [K, dim, nmax, *bs], nbr_occ [K, *bs] with K = 3^dim - 1.
     Frozen during the color's sub-sweep: every entry comes from a different
     color block (see neighbor_plan). This replaces the reference's static
     neighbor table + per-block shared-memory gather (kernel.cu:46-75, 270-279).
+
+    With ``unwrap`` (default), coordinate plane k of a neighbor read whose
+    block shift wrapped around the periodic box is pre-adjusted by ±L, so the
+    neighbor's coordinates are *relative* to this side of the box and the
+    sweep engines need no minimum-image arithmetic in their pair loops
+    (|dx| <= 2w <= L/2 holds for cells_per_side >= 4). ``block_offset`` is
+    the shard's global block offset (mesh runs), needed to locate the box
+    edge.
     """
-    plan = neighbor_plan(cfg.dim, color, include_center=False)
+    dim = cfg.dim
+    half = cfg.half_cps
+    box = cfg.box_length
+    plan = neighbor_plan(dim, color, include_center=False)
+    bs = occ.shape[1:]
+    edge_masks = {}
+    if unwrap:
+        for k in range(dim):
+            bk = jax.lax.broadcasted_iota(jnp.int32, bs, k)
+            if block_offset is not None:
+                bk = bk + block_offset[k]
+            edge_masks[(k, 1)] = (bk == half - 1).astype(jnp.float32)
+            edge_masks[(k, -1)] = (bk == 0).astype(jnp.float32)
     ps, os_ = [], []
     for src_color, shifts in plan:
-        ps.append(shift_fn(pos[src_color], shifts))
+        nb = shift_fn(pos[src_color], shifts)
+        if unwrap:
+            for k in range(dim):
+                s = shifts[k]
+                if s:
+                    adj = (s * box) * edge_masks[(k, s)]
+                    nb = nb.at[k].add(adj[None])
+        ps.append(nb)
         os_.append(shift_fn(occ[src_color], shifts))
     return jnp.stack(ps, axis=0), jnp.stack(os_, axis=0)
 
@@ -219,6 +259,7 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
     dim = cfg.dim
     # Shift all coordinates: x_axis -> wrap(x_axis - d).
     delta = jnp.zeros((dim,), pos.dtype).at[axis].set(d)
+    delta = delta.reshape((1, dim, 1) + (1,) * dim)
     newpos = wrap_into_box(pos - delta, cfg.box_length)
 
     def merge_for_color(color: int, donor_dir: int):
@@ -227,17 +268,14 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
         src_color = color ^ (1 << axis)  # parity flips along `axis`
         shifts = [0] * dim
         shifts[axis] = t >> 1
-        own_p, own_o = newpos[color], occ[color]
-        don_p = shift_fn(newpos[src_color], shifts)
+        ownp, own_o = newpos[color], occ[color]    # [dim, nmax, *bs], [*bs]
+        donp = shift_fn(newpos[src_color], shifts)
         don_o = shift_fn(occ[src_color], shifts)
         nmax = cfg.nmax
         bs_local = own_o.shape
 
-        # Coordinate-planes layout: trailing axes = cell grid (lane-friendly);
-        # compaction is a cumsum + one-hot select — no sort, no gather
+        # Compaction is a cumsum + one-hot select — no sort, no gather
         # (argsort-based compaction costs ~100ms/sweep at 1M particles on TPU).
-        ownp = jnp.moveaxis(own_p, (-1, -2), (0, 1))   # [dim, nmax, *bs]
-        donp = jnp.moveaxis(don_p, (-1, -2), (0, 1))
         cand = jnp.concatenate([ownp, donp], axis=1)   # [dim, 2nmax, *bs]
 
         slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs_local))
@@ -262,8 +300,7 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
         for j in range(2 * nmax):
             hit = belongs[j][None] & (dest[j][None] == slot)   # [nmax, *bs]
             out = jnp.where(hit[None], cand[:, j][:, None], out)
-        merged = jnp.moveaxis(out, (0, 1), (-1, -2))
-        return merged, new_occ
+        return out, new_occ
 
     def build(donor_dir: int):
         outs = [merge_for_color(c, donor_dir) for c in range(cfg.n_colors)]

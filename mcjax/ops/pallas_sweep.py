@@ -109,29 +109,31 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             e_new = zero
             ov_new = jnp.zeros_like(nonempty)
 
+            # No minimum-image arithmetic: neighbor planes are pre-unwrapped
+            # across the periodic boundary (cells.neighbor_stack) and own-cell
+            # pairs share a cell, so raw differences are already minimal.
             def accumulate(xs_old, xs_new, valid, e_old, e_new, ov_new):
                 r2n = zero
                 for d in range(dim):
-                    dn = _min_image_sel(xs_new[d], box)
-                    r2n = r2n + dn * dn
+                    r2n = r2n + xs_new[d] * xs_new[d]
                 if energetic:
                     r2o = zero
                     for d in range(dim):
-                        do = _min_image_sel(xs_old[d], box)
-                        r2o = r2o + do * do
+                        r2o = r2o + xs_old[d] * xs_old[d]
                     e_old = e_old + jnp.where(valid, pot.pair_energy(r2o), 0.0)
                     e_new = e_new + jnp.where(valid, pot.pair_energy(r2n), 0.0)
                 if hard:
                     ov_new = ov_new | (valid & pot.overlap(r2n))
                 return e_old, e_new, ov_new
 
-            # neighbor-cell pairs (frozen during the sub-sweep)
+            # neighbor-cell pairs (frozen during the sub-sweep); plane order
+            # matches the native neighbor_stack layout [K, dim, nmax, ...]
             for k in range(n_k):
                 for j in range(nmax):
                     valid = j < nbr_valid[k]
                     xs_old, xs_new = [], []
                     for d in range(dim):
-                        nb = nbr_ref[(d * n_k + k) * nmax + j]
+                        nb = nbr_ref[(k * dim + d) * nmax + j]
                         xs_old.append(old[d] - nb)
                         xs_new.append(new[d] - nb)
                     e_old, e_new, ov_new = accumulate(
@@ -193,24 +195,20 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     rows = math.prod(bs[:-1])
     cols = bs[-1]
 
-    own = pos[color]
+    own = pos[color]                       # [dim, nmax, *bs] planes layout
     own_occ = occ[color]
     nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
     pick_u, disp, acc_u = xla_sweep.substep_randoms(cfg, key, bs)
-    lb = xla_sweep._cell_lower_bounds(cfg, color, bs, None)
+    lb = xla_sweep._cell_lower_bounds(cfg, color, bs, None)  # [dim, *bs]
 
-    # ---- re-lay to coordinate planes [planes, rows, cols] -----------------
-    def planes(x, lead):  # x: [*lead_dims, *bs_like..., trailing dims moved front]
-        return x.reshape((lead, rows, cols))
-
-    own_p = jnp.moveaxis(own, (-1, -2), (0, 1)).reshape(dim * nmax, rows, cols)
-    nbr_p = jnp.moveaxis(nbr_pos, (-1, 0, -2), (0, 1, 2)).reshape(
-        dim * n_k * nmax, rows, cols)
+    # ---- everything is already planes-ordered: reshapes are free ----------
+    own_p = own.reshape(dim * nmax, rows, cols)
+    nbr_p = nbr_pos.reshape(n_k * dim * nmax, rows, cols)
     occ_p = own_occ.reshape(1, rows, cols)
     nbrocc_p = nbr_occ.reshape(n_k, rows, cols)
-    lb_p = jnp.moveaxis(lb, -1, 0).reshape(dim, rows, cols)
+    lb_p = lb.reshape(dim, rows, cols)
     pick_p = pick_u.reshape(n_m, rows, cols)
-    disp_p = jnp.moveaxis(disp, -1, 1).reshape(n_m * dim, rows, cols)
+    disp_p = disp.reshape(n_m * dim, rows, cols)
     accu_p = acc_u.reshape(n_m, rows, cols)
 
     # ---- pad to tile multiples (padded cells are empty -> inert) ----------
@@ -267,9 +265,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
         interpret=interpret,
     )(own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p, beta_arr)
 
-    # ---- unpad + back to canonical slab layout ----------------------------
+    # ---- unpad; output is already in the canonical planes layout ----------
     own_new = own_new_p[:, :rows, :cols].reshape(dim, nmax, *bs)
-    own_new = jnp.moveaxis(own_new, (0, 1), (-1, -2))
     de = jnp.sum(de_map[0, :rows, :cols])
     n_acc = jnp.sum(acc_map[0, :rows, :cols])
     n_prop = n_m * jnp.sum((own_occ > 0).astype(jnp.int32))

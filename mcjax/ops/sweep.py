@@ -57,7 +57,7 @@ class SweepMetrics(NamedTuple):
 def _cell_lower_bounds(cfg: SimConfig, color: int,
                        block_shape: tuple[int, ...],
                        block_offset: jax.Array | None) -> jnp.ndarray:
-    """Lower corner of every active cell of ``color``: [*bs, dim].
+    """Lower corner of every active cell of ``color``, planes layout [dim, *bs].
 
     ``block_shape`` is the (possibly shard-local) block extent;
     ``block_offset`` is this shard's global block-index offset per axis
@@ -72,7 +72,7 @@ def _cell_lower_bounds(cfg: SimConfig, color: int,
             bk = bk + block_offset[k]
         ck = 2 * bk + o[k]
         lbs.append(ck.astype(jnp.float32) * w - cfg.box_length / 2.0)
-    return jnp.stack(lbs, axis=-1)
+    return jnp.stack(lbs, axis=0)
 
 
 def substep_randoms(cfg: SimConfig, key: jax.Array, bs: tuple[int, ...]
@@ -87,9 +87,9 @@ def substep_randoms(cfg: SimConfig, key: jax.Array, bs: tuple[int, ...]
     pick_u = jax.random.uniform(k_pick, (n_m, *bs))
     if cfg.proposal == "gaussian":
         # <- make_move: new = old + N(0,1)*sigma (kernel.cu:184-189)
-        disp = cfg.step_size * jax.random.normal(k_disp, (n_m, *bs, dim))
+        disp = cfg.step_size * jax.random.normal(k_disp, (n_m, dim, *bs))
     else:
-        disp = jax.random.uniform(k_disp, (n_m, *bs, dim),
+        disp = jax.random.uniform(k_disp, (n_m, dim, *bs),
                                   minval=-cfg.step_size, maxval=cfg.step_size)
     acc_u = jax.random.uniform(k_acc, (n_m, *bs))
     return pick_u, disp, acc_u
@@ -110,29 +110,26 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     ``beta`` may be traced (parallel tempering); ``block_offset`` is the
     shard's global block offset under domain sharding.
 
-    Returns: (new own-color block [*bs, nmax, dim], dE scalar, accepted, proposed).
+    Returns: (new own-color block [dim, nmax, *bs], dE scalar, accepted, proposed).
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     if beta is None:
         beta = cfg.beta
-    own = pos[color]                       # [*bs, nmax, dim]
+    own = pos[color]                       # [dim, nmax, *bs] (planes layout)
     own_occ = occ[color]                   # [*bs]
-    bs = own.shape[:-2]
-    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
-    lb = _cell_lower_bounds(cfg, color, bs, block_offset)  # [*bs, dim]
+    bs = own_occ.shape
+    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
+                                            block_offset)
+    lbp = _cell_lower_bounds(cfg, color, bs, block_offset)  # [dim, *bs]
     w = cfg.cell_width
 
-    pick_u, disp, acc_u = substep_randoms(cfg, key, bs)
+    pick_u, dispp, acc_u = substep_randoms(cfg, key, bs)
 
-    # --- re-lay everything as coordinate planes: trailing axes = the cell
-    # grid, so the big spatial extent sits on the TPU lane/sublane dims.
-    # (With the canonical [..., nmax, dim] orientation the vector units would
-    # run at dim/128 lane occupancy — ~50x waste.) The Pallas kernel uses the
-    # identical layout; this is its pure-XLA twin.
-    ownp = jnp.moveaxis(own, (-1, -2), (0, 1))            # [dim, nmax, *bs]
-    nbrp = jnp.moveaxis(nbr_pos, (-1, 0, -2), (0, 1, 2))  # [dim, K, nmax, *bs]
-    lbp = jnp.moveaxis(lb, -1, 0)                         # [dim, *bs]
-    dispp = jnp.moveaxis(disp, -1, 1)                     # [n_M, dim, *bs]
+    # Everything is already in coordinate-planes layout: trailing axes = the
+    # cell grid, so the big spatial extent sits on the TPU lane/sublane dims
+    # at full vector width. The Pallas kernel consumes the same layout.
+    ownp = own                                            # [dim, nmax, *bs]
+    nbrp = nbr_pos                                        # [K, dim, nmax, *bs]
 
     slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
     nbr_valid = slot[None] < nbr_occ[:, None]             # [K, nmax, *bs]
@@ -146,14 +143,18 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
         the own-cell sum). Replaces the per-thread pair loop + shared-memory
         tree reduction of the reference (kernel.cu:315-379) with masked
         vectorized sums — exact, no dropped strides (SURVEY.md Q1).
+
+        No minimum-image arithmetic: own-cell pairs share a cell (|dx| < w)
+        and neighbor planes come pre-unwrapped across the periodic boundary
+        (cells.neighbor_stack), so raw differences are already minimal.
         """
-        d_own = min_image(x[:, None] - ownp_cur, cfg.box_length)
+        d_own = x[:, None] - ownp_cur
         r2_own = jnp.sum(d_own * d_own, axis=0)           # [nmax, *bs]
         valid_own = (slot < own_count) & ~sel
         e_o, ov_o = pair_interaction(pot, r2_own, valid_own)
 
-        d_nbr = min_image(x[:, None, None] - nbrp, cfg.box_length)
-        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=0)           # [K, nmax, *bs]
+        d_nbr = x[None, :, None] - nbrp
+        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=1)           # [K, nmax, *bs]
         e_n, ov_n = pair_interaction(pot, r2_nbr, nbr_valid)
 
         e = jnp.sum(e_o, axis=0) + jnp.sum(e_n, axis=(0, 1))
@@ -195,9 +196,8 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     # "replicated" and would clash with the loop-carry type).
     zf = own[(0,) * own.ndim] * 0.0
     zi = own_occ[(0,) * own_occ.ndim] * 0
-    ownp_new, de_sum, n_acc = jax.lax.fori_loop(
+    own_new, de_sum, n_acc = jax.lax.fori_loop(
         0, n_m, move_body, (ownp, zf, zi))
-    own_new = jnp.moveaxis(ownp_new, (0, 1), (-1, -2))
     n_prop = n_m * jnp.sum(nonempty.astype(jnp.int32))
     return own_new, de_sum, n_acc, n_prop
 
@@ -293,27 +293,29 @@ def total_energy_cells(cfg: SimConfig, pot: Potential, pos: jax.Array,
     periodically — SURVEY.md Q9).
     """
     nmax = cfg.nmax
-    slot_valid = jnp.arange(nmax)
+    dim = cfg.dim
     total = jnp.float32(0.0)
     for color in range(cfg.n_colors):
-        own = pos[color]
-        own_occ = occ[color]
-        valid_i = slot_valid < own_occ[..., None]            # [*bs, nmax]
-        # intra-cell pairs
-        d = min_image(own[..., :, None, :] - own[..., None, :, :],
-                      cfg.box_length)
-        r2 = jnp.sum(d * d, axis=-1)                         # [*bs, nmax, nmax]
-        vv = (valid_i[..., :, None] & valid_i[..., None, :]
-              & (slot_valid[:, None] != slot_valid[None, :]))
+        own = pos[color]                                   # [dim, nmax, *bs]
+        own_occ = occ[color]                               # [*bs]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]                     # [nmax, *bs]
+        # intra-cell pairs: [nmax_i, nmax_j, *bs]
+        d = min_image(own[:, :, None] - own[:, None, :], cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        vv = (valid_i[:, None] & valid_i[None, :]
+              & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
+                 ).reshape((nmax, nmax) + (1,) * len(bs)))
         e, _ = pair_interaction(pot, r2, vv)
         total = total + 0.5 * jnp.sum(e)
-        # cross-cell pairs
+        # cross-cell pairs: [K, nmax_i, nmax_j, *bs]
         nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
-        valid_j = slot_valid < nbr_occ[..., None]            # [K, *bs, nmax]
-        dx = min_image(own[None, ..., :, None, :] - nbr_pos[:, ..., None, :, :],
+        valid_j = slot[None] < nbr_occ[:, None]            # [K, nmax, *bs]
+        dx = min_image(own[None, :, :, None] - nbr_pos[:, :, None, :],
                        cfg.box_length)
-        r2x = jnp.sum(dx * dx, axis=-1)                      # [K, *bs, nmax, nmax]
-        vx = valid_i[None, ..., :, None] & valid_j[..., None, :]
+        r2x = jnp.sum(dx * dx, axis=1)                     # [K, nmax, nmax, *bs]
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
         ex, _ = pair_interaction(pot, r2x, vx)
         total = total + 0.5 * jnp.sum(ex)
     return total

@@ -34,9 +34,10 @@ def halo_shift(x: jax.Array, s: int, axis: int, axis_name: str) -> jax.Array:
 
     Local shift + ppermute of the single edge plane over ICI — the multi-chip
     analogue of jnp.roll. Wrap-around at the mesh edge gives the periodic
-    boundary.
+    boundary. ``axis`` may be negative (trailing spatial axes).
     """
     n = jax.lax.axis_size(axis_name)
+    axis = axis % x.ndim
     size = x.shape[axis]
     if s == 1:
         edge = jax.lax.slice_in_dim(x, 0, 1, axis=axis)  # my first plane
@@ -59,14 +60,15 @@ def make_halo_shift_fn(spatial_axis_names: Sequence[str | None]):
     shift_rebin / color_substep."""
 
     def shift_fn(block: jax.Array, shifts: Sequence[int]) -> jax.Array:
+        dim = len(shifts)
         for ax, s in enumerate(shifts):
             if s == 0:
                 continue
             name = spatial_axis_names[ax]
             if name is None:
-                block = jnp.roll(block, -s, axis=ax)
+                block = jnp.roll(block, -s, axis=ax - dim)
             else:
-                block = halo_shift(block, s, ax, name)
+                block = halo_shift(block, s, ax - dim, name)
         return block
 
     return shift_fn
@@ -91,7 +93,7 @@ def state_sharding(cfg: SimConfig, mesh: Mesh,
                    replica_axis: str | None = None) -> SimState:
     """NamedShardings for each SimState leaf (as a SimState-shaped pytree)."""
     rep = (replica_axis,) if replica_axis else ()
-    pos_spec = P(*rep, None, *spatial_axes, None, None)
+    pos_spec = P(*rep, None, None, None, *spatial_axes)
     occ_spec = P(*rep, None, *spatial_axes)
     scalar_spec = P(*rep)
     return SimState(
@@ -172,7 +174,7 @@ def make_sharded_run_sweeps(cfg: SimConfig, pot: Potential, mesh: Mesh,
         return st, ms
 
     rep = (replica_axis,) if replica_axis else ()
-    pos_spec = P(*rep, None, *spatial_axes, None, None)
+    pos_spec = P(*rep, None, None, None, *spatial_axes)
     occ_spec = P(*rep, None, *spatial_axes)
     sc = P(*rep)
     state_specs = SimState(pos=pos_spec, occ=occ_spec, key=sc, sweep=sc,

@@ -60,19 +60,19 @@ def validate_state(cfg: SimConfig, state: SimState,
     slot = np.arange(cfg.nmax)
     for color in range(cfg.n_colors):
         o = cells.color_bits(color, cfg.dim)
-        occ_c = occ[color]
-        pos_c = pos[color]
-        valid = slot.reshape((1,) * cfg.dim + (-1,)) < occ_c[..., None]
-        live = pos_c[valid]  # [n_live, dim]
+        occ_c = occ[color]                      # [*bs]
+        pos_c = pos[color]                      # [dim, nmax, *bs] planes
+        valid = slot.reshape((nmax_shape := (cfg.nmax,) + (1,) * cfg.dim)) \
+            < occ_c[None]                       # [nmax, *bs]
+        live = np.moveaxis(pos_c, 0, -1)[np.broadcast_to(valid, pos_c.shape[1:])]
         if live.size and (np.abs(live) > half_l + 1e-5).any():
             raise StateInvariantError("coordinates outside the box")
         for k in range(cfg.dim):
             bk = np.indices(cfg.block_shape)[k]
             ck = 2 * bk + o[k]
             lo = ck * w - half_l
-            x = pos_c[..., k]
-            bad = valid & ((x < lo[..., None] - 1e-5)
-                           | (x >= lo[..., None] + w + 1e-5))
+            x = pos_c[k]                        # [nmax, *bs]
+            bad = valid & ((x < lo[None] - 1e-5) | (x >= lo[None] + w + 1e-5))
             if bad.any():
                 raise StateInvariantError(
                     f"color {color}: {bad.sum()} slab entries outside their "
@@ -90,7 +90,8 @@ def format_state(cfg: SimConfig, state: SimState, max_cells: int = 16,
     """Readable per-cell listing — host_print_disk parity (kernel.cu:549-556)."""
     out = io.StringIO()
     occ = np.asarray(state.occ).reshape(-1)
-    pos = np.asarray(state.pos).reshape(-1, cfg.nmax, cfg.dim)
+    pos = np.moveaxis(np.asarray(state.pos), (1, 2), (-1, -2))
+    pos = pos.reshape(-1, cfg.nmax, cfg.dim)
     print(f"# sweep={int(state.sweep)} atoms={occ.sum()} "
           f"overflow={bool(np.asarray(state.overflow))}", file=out)
     for c in range(min(len(occ), max_cells)):

@@ -79,11 +79,12 @@ def test_bin_slabs_hold_only_their_cell():
         o = cells.color_bits(color, cfg.dim)
         for b in itertools.product(range(cfg.half_cps), repeat=cfg.dim):
             cnt = occ_np[(color, *b)]
-            slab = pos_np[(color, *b)][:cnt]
+            # planes layout: pos[color, dim, nmax, *b]
+            slab = pos_np[(color, slice(None), slice(None), *b)][:, :cnt]
             for k in range(cfg.dim):
                 ck = 2 * b[k] + o[k]
                 lo = ck * w - cfg.box_length / 2
-                assert ((slab[:, k] >= lo) & (slab[:, k] < lo + w)).all()
+                assert ((slab[k] >= lo) & (slab[k] < lo + w)).all()
 
 
 def test_bin_overflow_flagged_and_dropped():
@@ -137,7 +138,7 @@ def test_neighbor_stack_shapes_and_content():
     cfg = cfg2d(n_atoms=32)
     st = init_state(cfg)
     nbr_pos, nbr_occ = cells.neighbor_stack(cfg, st.pos, st.occ, color=0)
-    assert nbr_pos.shape == (8, 2, 2, cfg.nmax, 2)
+    assert nbr_pos.shape == (8, 2, cfg.nmax, 2, 2)
     assert nbr_occ.shape == (8, 2, 2)
     # particle counts conserved: each cell appears as neighbor exactly 8 times
     # in 2D across all colors' stacks

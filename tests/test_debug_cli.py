@@ -37,10 +37,10 @@ def test_validate_state_accepts_valid_run():
 def test_validate_state_catches_corruption():
     cfg, pot = hd_cfg()
     st = init_state(cfg)
-    # corrupt: move a live slab entry out of its cell
+    # corrupt: move a live slab entry out of its cell (planes layout)
     occ = np.asarray(st.occ)
     c, by, bx = np.argwhere(occ > 0)[0]
-    bad_pos = st.pos.at[c, by, bx, 0, 0].add(cfg.cell_width * 2.5)
+    bad_pos = st.pos.at[c, 0, 0, by, bx].add(cfg.cell_width * 2.5)
     bad = SimState(pos=bad_pos, occ=st.occ, key=st.key, sweep=st.sweep,
                    overflow=st.overflow)
     with pytest.raises(debug.StateInvariantError):
