@@ -37,6 +37,43 @@ def build(n_atoms: int, phi: float, cell_width_factor: float, nmax: int,
     return cfg, pot, state
 
 
+def bench_reference_lj(engine: str, sweeps: int) -> None:
+    """The reference's own published benchmark workload: ~1k-atom 3D LJ NVT,
+    1000 sweeps (pptx slide 14: 57 s on its GPU). Prints one JSON line with
+    the wall-time speedup."""
+    import jax.numpy as jnp
+
+    from mcjax.core.config import SimConfig
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import LennardJones
+
+    cfg = SimConfig(dim=3, n_atoms=800, box_length=10.0, cells_per_side=4,
+                    nmax=30, n_moves=15, proposal="gaussian", step_size=0.5,
+                    beta=0.3, seed=0)
+    pot = LennardJones(r_cut=2.5)
+    state = init_state(cfg)
+    if engine == "pallas":
+        from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
+    else:
+        from mcjax.ops.sweep import run_sweeps as runner
+    st, m = runner(cfg, pot, state, sweeps)
+    _ = float(jnp.sum(m.delta_e))
+    t0 = time.perf_counter()
+    st, m = runner(cfg, pot, st, sweeps)
+    _ = float(jnp.sum(m.delta_e))
+    dt = time.perf_counter() - t0
+    # scale to the reference's 1000-sweep run
+    wall_1000 = dt * (1000 / sweeps)
+    print(json.dumps({
+        "metric": "reference LJ workload wall time, 1000 sweeps (ref: 57 s)",
+        "value": wall_1000,
+        "unit": "s",
+        "vs_baseline": 57.0 / wall_1000,
+    }))
+    print(f"# {sweeps} sweeps in {dt:.3f}s; "
+          f"{int(jnp.sum(m.proposed)) / dt:.3e} moves/s", file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_048_576)
@@ -48,7 +85,14 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--engine", choices=["auto", "xla", "pallas"],
                     default="auto")
+    ap.add_argument("--workload", choices=["hard-disk", "reference-lj"],
+                    default="hard-disk")
     args = ap.parse_args()
+
+    if args.workload == "reference-lj":
+        eng = args.engine if args.engine != "auto" else "xla"
+        bench_reference_lj(eng, min(args.sweeps, 200))
+        return
 
     cfg, pot, state = build(args.n, args.phi, args.wfac, args.nmax, args.moves)
 

@@ -61,8 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--gr", action="store_true",
                    help="print g(r) histogram at the end")
-    p.add_argument("--config-json", type=str, default=None,
-                   help="load SimConfig fields from a JSON file")
+    p.add_argument("--config-json", "--config", dest="config_json", type=str,
+                   default=None,
+                   help="load SimConfig fields from a JSON or YAML file")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -85,8 +86,8 @@ def config_from_args(args) -> tuple["SimConfig", "Potential"]:
         args.step_size, args.beta, args.n_moves = 0.18, 1.0, 8
 
     if args.config_json:
-        from mcjax.core.config import SimConfig as SC
-        cfg = SC(**json.load(open(args.config_json)))
+        from mcjax.utils.io import load_config_file
+        cfg = load_config_file(args.config_json)
     else:
         dim = args.dim
         box = args.box

@@ -52,14 +52,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _min_image_sel(d, box_length):
-    """Minimum image via selects (|d| < L always holds here); cheaper than
-    round/divide inside the kernel."""
-    half = box_length / 2.0
-    d = jnp.where(d > half, d - box_length, d)
-    return jnp.where(d < -half, d + box_length, d)
-
-
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None):
     """Build the kernel body (closure over static config/potential)."""

@@ -113,3 +113,56 @@ def load_checkpoint(path: str) -> tuple[SimConfig, SimState]:
             overflow=jnp.asarray(z["overflow"]),
         )
     return cfg, state
+
+
+# ---- orbax backend (sharded / async-capable checkpoints at pod scale) -----
+
+def save_checkpoint_orbax(path: str, cfg: SimConfig, state: SimState) -> None:
+    """Orbax StandardCheckpointer backend: unlike the npz path this writes
+    per-shard (no host gather), which is what a pod-scale domain-sharded run
+    needs. The Threefry key is stored as raw key data."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "pos": state.pos,
+        "occ": state.occ,
+        "key_data": jax.random.key_data(state.key),
+        "sweep": state.sweep,
+        "overflow": state.overflow,
+    }
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    # orbax stores arrays only; the static config rides in a JSON sidecar
+    with open(path + ".config.json", "w") as fh:
+        json.dump(dataclasses.asdict(cfg), fh)
+
+
+def load_checkpoint_orbax(path: str) -> tuple[SimConfig, SimState]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        z = ckptr.restore(path)
+    with open(path + ".config.json") as fh:
+        cfg = SimConfig(**json.load(fh))
+    state = SimState(
+        pos=jnp.asarray(z["pos"]),
+        occ=jnp.asarray(z["occ"]),
+        key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])),
+        sweep=jnp.asarray(z["sweep"]),
+        overflow=jnp.asarray(z["overflow"]),
+    )
+    return cfg, state
+
+
+def load_config_file(path: str) -> SimConfig:
+    """SimConfig from a JSON or YAML file (the reference needs a recompile to
+    change any parameter — kernel.cu:17-29)."""
+    with open(path) as fh:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+            data = yaml.safe_load(fh)
+        else:
+            data = json.load(fh)
+    return SimConfig(**data)
