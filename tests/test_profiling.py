@@ -24,4 +24,4 @@ def test_throughput_harness():
                                n_sweeps=3, warmup_sweeps=3)
     assert res["moves_per_s"] > 0
     assert 0 <= res["acceptance"] <= 1
-    assert int(res["state"].sweep) == 9
+    assert int(res["state"].sweep) == 6  # 3 warmup + 3 timed
