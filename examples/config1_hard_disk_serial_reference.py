@@ -1,0 +1,56 @@
+"""BASELINE config 1: 2D hard disks, N=1024, packing fraction 0.5 —
+serial checkerboard reference on CPU.
+
+Runs the checkerboard engine on CPU and cross-checks its equilibrium EOS
+against the native C++ serial Metropolis oracle and the Henderson closed form.
+"""
+
+import math
+
+import jax
+import numpy as np
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.potentials import HardSphere
+from mcjax.ops import cells
+from mcjax.ops.sweep import run_sweeps
+from mcjax.utils import observables
+
+
+def main():
+    n, phi = 1024, 0.5
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=8, n_moves=8, proposal="uniform", step_size=0.15,
+                    beta=1.0, seed=0)
+    pot = HardSphere(1.0)
+    cfg.validate_against(pot.r_cut)
+
+    state = init_state(cfg)
+    state, m = run_sweeps(cfg, pot, state, 400)  # burn-in
+    zs = []
+    for _ in range(8):
+        state, m = run_sweeps(cfg, pot, state, 25)
+        r = cells.unbin(cfg, state.pos, state.occ)
+        zs.append(observables.hard_disk_eos(r, box, 1.0, 2))
+    z = float(np.mean(zs))
+    z_henderson = observables.henderson_z_disks(phi)
+    print(f"checkerboard engine: Z = {z:.3f}")
+    print(f"Henderson EOS:       Z = {z_henderson:.3f}")
+
+    try:
+        from mcjax import native
+        r0 = np.asarray(cells.unbin(cfg, state.pos, state.occ), np.float64)
+        r1, acc = native.serial_run(r0, box, 1.0, 0.15, 200_000, 7,
+                                    "hard", 1.0, "uniform")
+        zc = observables.hard_disk_eos(r1.astype(np.float32), box, 1.0, 2)
+        print(f"C++ serial oracle:   Z = {zc:.3f} (acceptance {acc/200_000:.2f})")
+    except Exception as e:  # toolchain may be absent
+        print(f"(native oracle unavailable: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -236,9 +236,11 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
         jax.ShapeDtypeStruct((1, rp, cp), jnp.float32),
         jax.ShapeDtypeStruct((1, rp, cp), jnp.int32),
     )
-    vmem_bytes = 4 * tile_rows * tile_cols * (
+    # Per-tile buffer footprint x2 for the pipeline's double buffering,
+    # plus slack; the compiler treats this as the scoped-vmem budget.
+    vmem_bytes = 2 * 4 * tile_rows * tile_cols * (
         2 * dim * nmax + 1 + dim * n_k * nmax + n_k + dim
-        + n_m * (2 + dim) + 4) + 2 * 1024 * 1024
+        + n_m * (2 + dim) + 4) + 4 * 1024 * 1024
 
     own_new_p, de_map, acc_map = pl.pallas_call(
         kernel,
