@@ -9,11 +9,22 @@ Baseline: the reference's published 57 s for 1000 sweeps x 1280 moves of the
 import argparse
 import json
 import math
+import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
 import jax
 import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 REFERENCE_MOVES_PER_S = 2.25e4  # BASELINE.md
 

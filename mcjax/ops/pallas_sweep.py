@@ -174,24 +174,28 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          beta: jax.Array | float | None = None,
                          block_offset: jax.Array | None = None,
                          *, tile_rows: int = 8, tile_cols: int = 128,
-                         interpret: bool = False
+                         interpret: bool = False,
+                         vma: tuple[str, ...] | None = None
                          ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for sweep.color_substep backed by the Pallas kernel.
 
-    Single-chip only (neighbor slabs are pre-rolled with jnp.roll).
+    Works standalone on one chip (shift_fn = jnp.roll) or per-shard inside
+    shard_map (halo-aware shift_fn + block_offset): the kernel itself only
+    sees local planes; all cross-chip traffic happens in the neighbor-stack
+    build.
     """
-    assert block_offset is None, "pallas substep is single-chip (use XLA path on meshes)"
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
-    bs = cfg.block_shape
     n_k = cfg.n_neighbors - 1
-    rows = math.prod(bs[:-1])
-    cols = bs[-1]
 
     own = pos[color]                       # [dim, nmax, *bs] planes layout
     own_occ = occ[color]
-    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
+    bs = own_occ.shape                     # shard-local block shape
+    rows = math.prod(bs[:-1])
+    cols = bs[-1]
+    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
+                                            block_offset)
     pick_u, disp, acc_u = xla_sweep.substep_randoms(cfg, key, bs)
-    lb = xla_sweep._cell_lower_bounds(cfg, color, bs, None)  # [dim, *bs]
+    lb = xla_sweep._cell_lower_bounds(cfg, color, bs, block_offset)
 
     # ---- everything is already planes-ordered: reshapes are free ----------
     own_p = own.reshape(dim * nmax, rows, cols)
@@ -231,10 +235,12 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                             lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
 
+    # under shard_map, outputs must declare their varying mesh axes
+    vma_set = frozenset(vma) if vma else None
     out_shapes = (
-        jax.ShapeDtypeStruct((dim * nmax, rp, cp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32),
+        jax.ShapeDtypeStruct((dim * nmax, rp, cp), jnp.float32, vma=vma_set),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32, vma=vma_set),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32, vma=vma_set),
     )
     # Per-tile buffer footprint x2 for the pipeline's double buffering,
     # plus slack; the compiler treats this as the scoped-vmem budget.
@@ -268,10 +274,14 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
 
 
 def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
-                        interpret: bool = False):
-    """A color_substep-compatible function with chosen tiling."""
+                        interpret: bool = False,
+                        vma: tuple[str, ...] | None = None):
+    """A color_substep-compatible function with chosen tiling.
+
+    ``vma``: mesh axis names the state varies over when running inside
+    shard_map (e.g. ("y", "x")); None on a single chip."""
     return partial(pallas_color_substep, tile_rows=tile_rows,
-                   tile_cols=tile_cols, interpret=interpret)
+                   tile_cols=tile_cols, interpret=interpret, vma=vma)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))

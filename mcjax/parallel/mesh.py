@@ -117,7 +117,11 @@ def shard_state(cfg: SimConfig, state: SimState, mesh: Mesh,
 def make_sharded_run_sweeps(cfg: SimConfig, pot: Potential, mesh: Mesh,
                             spatial_axes: Sequence[str | None],
                             n_sweeps: int,
-                            replica_axis: str | None = None):
+                            replica_axis: str | None = None,
+                            substep_fn=None,
+                            engine: str = "xla",
+                            interpret: bool = False,
+                            check_vma: bool = True):
     """Build a jitted multi-chip sweep runner.
 
     Returns ``f(state, betas=None) -> (state, metrics)`` where the state's
@@ -133,6 +137,12 @@ def make_sharded_run_sweeps(cfg: SimConfig, pot: Potential, mesh: Mesh,
     shift_fn = make_halo_shift_fn(spatial_axes)
 
     vary_names = sharded_names + ((replica_axis,) if replica_axis else ())
+
+    if substep_fn is None and engine == "pallas":
+        # per-shard fused Pallas kernel; cross-chip traffic stays in the
+        # halo-aware neighbor-stack build
+        from mcjax.ops.pallas_sweep import make_pallas_substep
+        substep_fn = make_pallas_substep(vma=vary_names, interpret=interpret)
 
     def local_run(pos, occ, key, sweep, overflow, beta):
         # global block offset + linearized shard id for RNG decorrelation
@@ -154,7 +164,7 @@ def make_sharded_run_sweeps(cfg: SimConfig, pot: Potential, mesh: Mesh,
 
         def step(st, _):
             st, m = mc_sweep(cfg, pot, st, shift_fn, beta, block_offset,
-                             shard_id)
+                             shard_id, substep_fn=substep_fn)
             m = SweepMetrics(
                 delta_e=jax.lax.psum(m.delta_e, sharded_names),
                 accepted=jax.lax.psum(m.accepted, sharded_names),
@@ -191,10 +201,13 @@ def make_sharded_run_sweeps(cfg: SimConfig, pot: Potential, mesh: Mesh,
         return f(state.pos, state.occ, state.key, state.sweep,
                  state.overflow, betas)
 
+    # check_vma=False is needed only for Pallas interpret mode (its internal
+    # block slicing confuses vma tracking); compiled runs keep full checking.
     shmapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(state_specs, beta_spec),
         out_specs=(state_specs, met_spec),
+        check_vma=check_vma,
     )
     jitted = jax.jit(shmapped)
 
