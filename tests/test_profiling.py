@@ -25,3 +25,22 @@ def test_throughput_harness():
     assert res["moves_per_s"] > 0
     assert 0 <= res["acceptance"] <= 1
     assert int(res["state"].sweep) == 6  # 3 warmup + 3 timed
+
+
+def test_tune_step_size_moves_toward_target():
+    from mcjax.models.potentials import HardSphere
+    from mcjax.utils.tuning import tune_step_size
+    import math
+    n, phi = 256, 0.5
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0) - int(box // 1.0) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=8, n_moves=6, proposal="uniform", step_size=0.9,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg)
+    tuned, st2, acc = tune_step_size(cfg, hs, st, target=0.5, rounds=5,
+                                     sweeps_per_round=4)
+    # 0.9 is far too large at phi=0.5 (acceptance ~0.1); tuning must shrink it
+    assert tuned.step_size < 0.9
+    assert 0.25 < acc < 0.8, acc
