@@ -15,11 +15,13 @@ from mcjax.utils import observables
 
 
 def main():
-    # ~110k atoms at the reference's density (800 atoms in a 10^3 box)
+    # ~100k atoms at the reference's density (800 atoms in a 10^3 box).
+    # NB: at beta=0.3 the LJ system is a hot gas with large density
+    # fluctuations — size nmax generously (overflow is detected, not silent).
     scale = 5
     cfg = SimConfig(dim=3, n_atoms=800 * scale**3, box_length=10.0 * scale,
-                    cells_per_side=4 * scale * 2, nmax=16, n_moves=8,
-                    proposal="gaussian", step_size=0.35, beta=0.3, seed=0)
+                    cells_per_side=4 * scale, nmax=30, n_moves=8,
+                    proposal="gaussian", step_size=0.25, beta=0.3, seed=0)
     pot = LennardJones(r_cut=2.5)
     cfg.validate_against(pot.r_cut)
     state = init_state(cfg)

@@ -54,12 +54,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None):
-    """Build the kernel body (closure over static config/potential)."""
+    """Build the kernel body (closure over static config/potential).
+
+    The neighbor pair loop is fully unrolled for small neighborhoods (2D:
+    8 x nmax iterations — best runtime) but becomes a ``fori_loop`` over the
+    neighbor-cell index for 3D (26 cells), where a full unroll makes Mosaic
+    compilation take tens of minutes; the per-cell slot loop stays unrolled.
+    """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
-    box = cfg.box_length
     w = cfg.cell_width
     hard = pot.has_hard_core
     energetic = pot.has_energy
+    unroll_neighbors = n_k <= 8
 
     def kernel(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
                pick_ref, disp_ref, accu_ref, beta_ref,
@@ -69,11 +75,6 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
         nonempty = occ > 0
         out_ref[:] = own_ref[:]
         beta = beta_static if beta_static is not None else beta_ref[0, 0]
-
-        nbr_valid = [nbrocc_ref[k] for k in range(n_k)]  # [TR, TC] i32 each
-
-        def fetch_plane(ref, idx):
-            return ref[idx]
 
         def move_body(m, carry):
             de_acc, acc_acc = carry
@@ -120,9 +121,10 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
 
             # neighbor-cell pairs (frozen during the sub-sweep); plane order
             # matches the native neighbor_stack layout [K, dim, nmax, ...]
-            for k in range(n_k):
+            def nbr_cell_pairs(k, e_old, e_new, ov_new):
+                nocc = nbrocc_ref[k]
                 for j in range(nmax):
-                    valid = j < nbr_valid[k]
+                    valid = j < nocc
                     xs_old, xs_new = [], []
                     for d in range(dim):
                         nb = nbr_ref[(k * dim + d) * nmax + j]
@@ -130,6 +132,17 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                         xs_new.append(new[d] - nb)
                     e_old, e_new, ov_new = accumulate(
                         xs_old, xs_new, valid, e_old, e_new, ov_new)
+                return e_old, e_new, ov_new
+
+            if unroll_neighbors:
+                for k in range(n_k):
+                    e_old, e_new, ov_new = nbr_cell_pairs(k, e_old, e_new,
+                                                          ov_new)
+            else:
+                e_old, e_new, ov_new = jax.lax.fori_loop(
+                    0, n_k,
+                    lambda k, c: nbr_cell_pairs(k, *c),
+                    (e_old, e_new, ov_new))
 
             # own-cell pairs (excluding the moving particle)
             for j in range(nmax):
@@ -190,32 +203,35 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     own = pos[color]                       # [dim, nmax, *bs] planes layout
     own_occ = occ[color]
     bs = own_occ.shape                     # shard-local block shape
-    rows = math.prod(bs[:-1])
-    cols = bs[-1]
+    n_cells = math.prod(bs)
     nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
                                             block_offset)
     pick_u, disp, acc_u = xla_sweep.substep_randoms(cfg, key, bs)
     lb = xla_sweep._cell_lower_bounds(cfg, color, bs, block_offset)
 
-    # ---- everything is already planes-ordered: reshapes are free ----------
-    own_p = own.reshape(dim * nmax, rows, cols)
-    nbr_p = nbr_pos.reshape(n_k * dim * nmax, rows, cols)
-    occ_p = own_occ.reshape(1, rows, cols)
-    nbrocc_p = nbr_occ.reshape(n_k, rows, cols)
-    lb_p = lb.reshape(dim, rows, cols)
-    pick_p = pick_u.reshape(n_m, rows, cols)
-    disp_p = disp.reshape(n_m * dim, rows, cols)
-    accu_p = acc_u.reshape(n_m, rows, cols)
+    # ---- flatten the cell grid into full-width lane tiles -----------------
+    # Cells are independent within a color sub-sweep, so after neighbor
+    # alignment (done above by the rolls) ANY repacking of the cell axes is
+    # valid. Flattening to (rows, 128) keeps the VPU at full lane occupancy
+    # even when the trailing block axis is small (3D grids: bs[-1] ~ 10-20,
+    # which naive (prod(bs[:-1]), bs[-1]) tiling would pad ~10x).
+    cp = tile_cols
+    padded = _round_up(max(n_cells, tile_rows * cp), tile_rows * cp)
+    rp = padded // cp
 
-    # ---- pad to tile multiples (padded cells are empty -> inert) ----------
-    rp = _round_up(max(rows, tile_rows), tile_rows)
-    cp = _round_up(max(cols, tile_cols), tile_cols)
+    def to_tiles(x, lead):
+        x = x.reshape(lead, n_cells)
+        x = jnp.pad(x, ((0, 0), (0, padded - n_cells)))
+        return x.reshape(lead, rp, cp)
 
-    def pad(x):
-        return jnp.pad(x, ((0, 0), (0, rp - rows), (0, cp - cols)))
-
-    own_p, nbr_p, occ_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p = map(
-        pad, (own_p, nbr_p, occ_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p))
+    own_p = to_tiles(own, dim * nmax)
+    nbr_p = to_tiles(nbr_pos, n_k * dim * nmax)
+    occ_p = to_tiles(own_occ, 1)
+    nbrocc_p = to_tiles(nbr_occ, n_k)
+    lb_p = to_tiles(lb, dim)
+    pick_p = to_tiles(pick_u, n_m)
+    disp_p = to_tiles(disp, n_m * dim)
+    accu_p = to_tiles(acc_u, n_m)
 
     beta_static = None
     if beta is None:
@@ -266,9 +282,10 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     )(own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p, beta_arr)
 
     # ---- unpad; output is already in the canonical planes layout ----------
-    own_new = own_new_p[:, :rows, :cols].reshape(dim, nmax, *bs)
-    de = jnp.sum(de_map[0, :rows, :cols])
-    n_acc = jnp.sum(acc_map[0, :rows, :cols])
+    own_new = own_new_p.reshape(dim * nmax, padded)[:, :n_cells]
+    own_new = own_new.reshape(dim, nmax, *bs)
+    de = jnp.sum(de_map)
+    n_acc = jnp.sum(acc_map)
     n_prop = n_m * jnp.sum((own_occ > 0).astype(jnp.int32))
     return own_new, de, n_acc, n_prop
 
