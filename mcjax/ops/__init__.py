@@ -1,3 +1,3 @@
-from mcjax.ops import cells, sweep
+from mcjax.ops import cells, pallas_sweep, sweep
 
-__all__ = ["cells", "sweep"]
+__all__ = ["cells", "pallas_sweep", "sweep"]
