@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--sweeps", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                   default="auto")
     p.add_argument("--chunk", type=int, default=50,
                    help="sweeps per device dispatch / print interval")
     p.add_argument("--reanchor-every", type=int, default=0,
@@ -148,7 +149,12 @@ def main(argv=None) -> int:
         cfg, pot = config_from_args(args)
         state = init_state(cfg)
 
-    if args.engine == "pallas":
+    engine = args.engine
+    if engine == "auto":
+        from mcjax.ops.pallas_sweep import recommended_engine
+        engine = recommended_engine(cfg)
+        print(f"# engine: {engine}", file=sys.stderr)
+    if engine == "pallas":
         from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
     else:
         runner = run_sweeps

@@ -290,6 +290,27 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     return own_new, de, n_acc, n_prop
 
 
+def estimate_tile_vmem_bytes(cfg: SimConfig, tile_rows: int = 8,
+                             tile_cols: int = 128) -> int:
+    """Rough per-tile VMEM footprint of the sub-sweep kernel (x2 for the
+    pipeline's double buffering)."""
+    dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    n_k = cfg.n_neighbors - 1
+    return 2 * 4 * tile_rows * tile_cols * (
+        2 * dim * nmax + 1 + dim * n_k * nmax + n_k + dim
+        + n_m * (2 + dim) + 4)
+
+
+def recommended_engine(cfg: SimConfig, vmem_budget: int = 24 * 2**20) -> str:
+    """'pallas' when on TPU and the kernel's working set fits comfortably,
+    else 'xla' (identical physics either way — same Threefry streams)."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return "xla"
+    return "pallas" if estimate_tile_vmem_bytes(cfg) <= vmem_budget else "xla"
+
+
 def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
                         interpret: bool = False,
                         vma: tuple[str, ...] | None = None):
@@ -301,12 +322,27 @@ def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
                    tile_cols=tile_cols, interpret=interpret, vma=vma)
 
 
+def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
+                   vmem_budget: int = 24 * 2**20) -> int:
+    """Largest row-tile (32/16/8) whose working set fits the VMEM budget —
+    bigger tiles amortize grid/pipeline overhead (~15% at 1M hard disks)."""
+    for tr in (32, 16, 8):
+        if estimate_tile_vmem_bytes(cfg, tr, tile_cols) <= vmem_budget:
+            return tr
+    return 8
+
+
 @partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
 def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
-                      n_sweeps: int, tile_rows: int = 8, tile_cols: int = 128,
+                      n_sweeps: int, tile_rows: int = 0, tile_cols: int = 128,
                       interpret: bool = False
                       ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
-    """run_sweeps with the Pallas sub-sweep kernel (single chip)."""
+    """run_sweeps with the Pallas sub-sweep kernel (single chip).
+
+    tile_rows=0 auto-selects the largest VMEM-fitting row tile.
+    """
+    if tile_rows == 0:
+        tile_rows = auto_tile_rows(cfg, tile_cols)
     substep = make_pallas_substep(tile_rows, tile_cols, interpret)
 
     def body(st, _):
