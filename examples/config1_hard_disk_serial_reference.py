@@ -31,23 +31,25 @@ def main():
 
     state = init_state(cfg)
     state, m = run_sweeps(cfg, pot, state, 400)  # burn-in
-    zs = []
-    for _ in range(8):
+    snaps = []
+    for _ in range(12):
         state, m = run_sweeps(cfg, pot, state, 25)
-        r = cells.unbin(cfg, state.pos, state.occ)
-        zs.append(observables.hard_disk_eos(r, box, 1.0, 2))
-    z = float(np.mean(zs))
+        snaps.append(np.asarray(cells.unbin(cfg, state.pos, state.occ)))
+    z = observables.hard_disk_eos(snaps, box, 1.0, 2)
     z_henderson = observables.henderson_z_disks(phi)
     print(f"checkerboard engine: Z = {z:.3f}")
     print(f"Henderson EOS:       Z = {z_henderson:.3f}")
 
     try:
         from mcjax import native
-        r0 = np.asarray(cells.unbin(cfg, state.pos, state.occ), np.float64)
-        r1, acc = native.serial_run(r0, box, 1.0, 0.15, 200_000, 7,
-                                    "hard", 1.0, "uniform")
-        zc = observables.hard_disk_eos(r1.astype(np.float32), box, 1.0, 2)
-        print(f"C++ serial oracle:   Z = {zc:.3f} (acceptance {acc/200_000:.2f})")
+        r1 = snaps[-1].astype(np.float64)
+        csnaps = []
+        for i in range(12):
+            r1, acc = native.serial_run(r1, box, 1.0, 0.15, 100_000, 7 + i,
+                                        "hard", 1.0, "uniform")
+            csnaps.append(r1.astype(np.float32))
+        zc = observables.hard_disk_eos(csnaps, box, 1.0, 2)
+        print(f"C++ serial oracle:   Z = {zc:.3f}")
     except Exception as e:  # toolchain may be absent
         print(f"(native oracle unavailable: {e})")
 

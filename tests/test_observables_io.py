@@ -6,6 +6,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mcjax.core.config import SimConfig
 from mcjax.core.state import init_state
@@ -58,14 +59,13 @@ def test_hard_disk_eos_dilute_limit():
     cfg.validate_against(hs.r_cut)
     st = init_state(cfg)
     st, _ = run_sweeps(cfg, hs, st, 300)
-    zs = []
+    snaps = []
     for _ in range(6):
         st, _ = run_sweeps(cfg, hs, st, 25)
-        r = cells.unbin(cfg, st.pos, st.occ)
-        zs.append(observables.hard_disk_eos(r, L, 1.0, 2))
-    z = float(np.mean(zs))
+        snaps.append(cells.unbin(cfg, st.pos, st.occ))
+    z = observables.hard_disk_eos(snaps, L, 1.0, 2)
     z_ref = observables.henderson_z_disks(phi)
-    assert abs(z - z_ref) / z_ref < 0.12, (z, z_ref)
+    assert abs(z - z_ref) / z_ref < 0.10, (z, z_ref)
 
 
 def test_dump_roundtrip(tmp_path):
@@ -93,3 +93,25 @@ def test_checkpoint_resume_bitwise(tmp_path):
     full, _ = run_sweeps(cfg, lj, st, 12)
     np.testing.assert_array_equal(np.asarray(resumed.pos), np.asarray(full.pos))
     assert int(resumed.sweep) == 12
+
+
+@pytest.mark.slow
+def test_hard_disk_eos_phi05_henderson():
+    """EOS parity at the headline packing fraction (phi=0.5): the engine's
+    contact-value Z must match the Henderson closed form."""
+    n, phi = 1024, 0.5
+    L = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(L // 1.0) - int(L // 1.0) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=L, cells_per_side=cps,
+                    nmax=8, n_moves=8, proposal="uniform", step_size=0.15,
+                    beta=1.0, seed=3)
+    hs = HardSphere(1.0)
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, hs, st, 400)
+    snaps = []
+    for _ in range(10):
+        st, _ = run_sweeps(cfg, hs, st, 25)
+        snaps.append(cells.unbin(cfg, st.pos, st.occ))
+    z = observables.hard_disk_eos(snaps, L, 1.0, 2)
+    z_ref = observables.henderson_z_disks(phi)
+    assert abs(z - z_ref) / z_ref < 0.06, (z, z_ref)
