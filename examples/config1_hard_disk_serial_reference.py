@@ -5,6 +5,10 @@ Runs the checkerboard engine on CPU and cross-checks its equilibrium EOS
 against the native C++ serial Metropolis oracle and the Henderson closed form.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import math
 
 import jax

@@ -1,6 +1,10 @@
 """BASELINE config 2: 2D hard disks, N=64k, checkerboard cell-set Pallas
 sweeps + random grid shifts, single TPU core."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import math
 import time
 

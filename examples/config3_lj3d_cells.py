@@ -2,6 +2,11 @@
 energy/acceptance reductions — the reference's physics (kernel.cu:17-29) at a
 scale the reference could never reach."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax.numpy as jnp

@@ -1,6 +1,11 @@
 """BASELINE config 4: vmapped replica ensemble / parallel tempering with
 per-replica Threefry streams (the reference has no ensemble support at all)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

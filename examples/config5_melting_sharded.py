@@ -6,6 +6,10 @@ over the virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8)
 — same shard_map program, same ppermute halo exchange.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import math
 import os
 
