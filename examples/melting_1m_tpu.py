@@ -49,8 +49,10 @@ def run_point(n, phi, sweeps_eq, snaps, sweeps_between, seed=0):
         state, m = run_sweeps_pallas(cfg, pot, state, sweeps_between)
         acc += int(jnp.sum(m.accepted))
         prop += int(jnp.sum(m.proposed))
-        frames.append(np.asarray(cells.unbin(cfg, state.pos, state.occ)))
-    z = observables.hard_disk_eos(frames, box, 1.0, 2)
+        frames.append((state.pos, state.occ))
+    # cell-list contact histogram: O(N), fine at N=1M (the O(N^2) variant
+    # would need half a trillion pair distances)
+    z = observables.hard_disk_eos_state(cfg, frames, 1.0)
     dt = time.perf_counter() - t0
     assert not bool(state.overflow)
     return z, acc / max(prop, 1), dt

@@ -108,6 +108,85 @@ def contact_shell_gr(positions: jax.Array, box_length: float, dim: int,
     return centers, counts / ideal
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def contact_shell_gr_cells(cfg, pos: jax.Array, occ: jax.Array,
+                           diameter: float, n_bins: int,
+                           window: float) -> jax.Array:
+    """Cell-list contact-shell g(r) — O(N x neighborhood), usable at N >= 1M
+    where the O(N^2) pass is impossible. Takes the color-blocked state
+    directly. Returns the g values on the same bins as contact_shell_gr.
+    """
+    from mcjax.ops import cells as _cells
+
+    nmax, dim = cfg.nmax, cfg.dim
+    dr = diameter * window / n_bins
+    lo2 = diameter * diameter
+    hi = diameter * (1.0 + window)
+    counts = jnp.zeros((n_bins,), jnp.float32)
+    n_tot = jnp.sum(occ)
+
+    def add_pairs(counts, r2, valid):
+        r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        inside = valid & (r2 >= lo2) & (r < hi)
+        bins = jnp.floor((r - diameter) / dr).astype(jnp.int32)
+        # each ordered pair appears exactly twice across the color loop
+        return counts.at[bins.ravel()].add(
+            jnp.where(inside, 0.5, 0.0).ravel(), mode="drop")
+
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        # intra-cell (ordered pairs i != j)
+        d = min_image(own[:, :, None] - own[:, None, :], box_length=cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        vv = (valid_i[:, None] & valid_i[None, :]
+              & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
+                 ).reshape((nmax, nmax) + (1,) * len(bs)))
+        counts = add_pairs(counts, r2, vv)
+        # cross-cell (ordered: every pair seen from both sides over colors)
+        nbr_pos, nbr_occ = _cells.neighbor_stack(cfg, pos, occ, color)
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = own[None, :, :, None] - nbr_pos[:, :, None, :]
+        r2x = jnp.sum(dx * dx, axis=1)
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        counts = add_pairs(counts, r2x, vx)
+
+    centers = diameter + (jnp.arange(n_bins) + 0.5) * dr
+    rho = n_tot / cfg.box_length**dim
+    shell = (2.0 * math.pi * centers * dr if dim == 2
+             else 4.0 * math.pi * centers**2 * dr)
+    ideal = n_tot * rho * shell / 2.0
+    return counts / ideal
+
+
+def hard_disk_eos_state(cfg, states_pos_occ, diameter: float,
+                        n_bins: int = 12, window: float = 0.05,
+                        order: int = 2) -> float:
+    """hard_disk_eos over (pos, occ) state snapshots via the cell-list
+    histogram — the large-N path (melting sweeps at N >= 1M)."""
+    snaps = states_pos_occ if isinstance(states_pos_occ, list) \
+        else [states_pos_occ]
+    g_sum = None
+    for p, o in snaps:
+        g = contact_shell_gr_cells(cfg, p, o, diameter, n_bins, window)
+        g_sum = g if g_sum is None else g_sum + g
+    g_mean = np.asarray(g_sum) / len(snaps)
+    dr = diameter * window / n_bins
+    centers = diameter + (np.arange(n_bins) + 0.5) * dr
+    coef = np.polyfit(centers, g_mean, min(order, n_bins - 1))
+    g_contact = float(np.polyval(coef, diameter))
+    n = int(np.asarray(jnp.sum(snaps[0][1])))
+    volume = cfg.box_length**cfg.dim
+    if cfg.dim == 2:
+        phi = n * math.pi * diameter**2 / 4.0 / volume
+        return 1.0 + 2.0 * phi * g_contact
+    phi = n * math.pi * diameter**3 / 6.0 / volume
+    return 1.0 + 4.0 * phi * g_contact
+
+
 def hard_disk_eos(positions, box_length: float, diameter: float,
                   dim: int, n_bins: int = 12,
                   window: float = 0.05, order: int = 2) -> float:

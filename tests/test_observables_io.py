@@ -115,3 +115,29 @@ def test_hard_disk_eos_phi05_henderson():
     z = observables.hard_disk_eos(snaps, L, 1.0, 2)
     z_ref = observables.henderson_z_disks(phi)
     assert abs(z - z_ref) / z_ref < 0.06, (z, z_ref)
+
+
+def test_cell_list_contact_gr_matches_n2():
+    """contact_shell_gr_cells (O(N) path for 1M-scale EOS) must agree with
+    the O(N^2) histogram on a small system."""
+    import jax
+    from mcjax.ops import cells as C
+    n, phi = 300, 0.5
+    L = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(L // 1.0) - int(L // 1.0) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=L, cells_per_side=cps,
+                    nmax=8, n_moves=6, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, hs, st, 60)
+    r = C.unbin(cfg, st.pos, st.occ)
+    _, g_n2 = observables.contact_shell_gr(r, L, 2, 1.0, 12, 0.05)
+    g_cells = observables.contact_shell_gr_cells(cfg, st.pos, st.occ,
+                                                 1.0, 12, 0.05)
+    np.testing.assert_allclose(np.asarray(g_cells), np.asarray(g_n2),
+                               rtol=1e-4, atol=1e-4)
+    # and the two Z estimators agree
+    z1 = observables.hard_disk_eos(r, L, 1.0, 2)
+    z2 = observables.hard_disk_eos_state(cfg, (st.pos, st.occ), 1.0)
+    assert abs(z1 - z2) < 1e-3 * max(1.0, abs(z1))
