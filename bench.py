@@ -91,7 +91,7 @@ def main() -> None:
     ap.add_argument("--phi", type=float, default=0.5)
     ap.add_argument("--wfac", type=float, default=2.0)
     ap.add_argument("--nmax", type=int, default=10)
-    ap.add_argument("--moves", type=int, default=32)
+    ap.add_argument("--moves", type=int, default=64)
     ap.add_argument("--sweeps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--engine", choices=["auto", "xla", "pallas"],
