@@ -53,9 +53,10 @@ def run_point(n, phi, sweeps_eq, snaps, sweeps_between, seed=0):
     # cell-list contact histogram: O(N), fine at N=1M (the O(N^2) variant
     # would need half a trillion pair distances)
     z = observables.hard_disk_eos_state(cfg, frames, 1.0)
+    psi6 = float(observables.psi6_cells(cfg, state.pos, state.occ))
     dt = time.perf_counter() - t0
     assert not bool(state.overflow)
-    return z, acc / max(prop, 1), dt
+    return z, psi6, acc / max(prop, 1), dt
 
 
 def main():
@@ -64,9 +65,10 @@ def main():
     phis = [0.68, 0.70, 0.71, 0.72]
     print(f"# N={n} hard disks, {sweeps_eq} eq sweeps/point")
     for phi in phis:
-        z, acc, dt = run_point(n, phi, sweeps_eq, snaps=5, sweeps_between=40)
-        print(f"phi={phi:.3f}  Z={z:.4f}  acceptance={acc:.3f}  ({dt:.0f}s)",
-              flush=True)
+        z, psi6, acc, dt = run_point(n, phi, sweeps_eq, snaps=5,
+                                     sweeps_between=40)
+        print(f"phi={phi:.3f}  Z={z:.4f}  |psi6|={psi6:.4f}  "
+              f"acceptance={acc:.3f}  ({dt:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -221,6 +221,65 @@ def hard_disk_eos(positions, box_length: float, diameter: float,
     return 1.0 + 4.0 * phi * g_contact
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
+               r_cut: float = 1.4) -> jax.Array:
+    """Global 2D bond-orientational order |<psi_6>| from the cell-list state.
+
+    psi_6(i) = (1/n_i) sum_j exp(6 i theta_ij) over neighbors j with
+    r_ij < r_cut (~first g(r) minimum, ~1.4 diameters). Distinguishes the
+    2D solid/hexatic (|psi_6| large) from the liquid (~0) — the order
+    parameter for the hard-disk melting study (Bernard & Krauth 2011).
+    O(N x neighborhood); usable at N >= 1M. Requires cell_width >= r_cut.
+    """
+    from mcjax.ops import cells as _cells
+
+    nmax, dim = cfg.nmax, cfg.dim
+    assert dim == 2, "psi_6 is a 2D observable"
+    re_sum = jnp.float32(0.0)
+    im_sum = jnp.float32(0.0)
+    n_tot = jnp.sum(occ)
+
+    def accumulate(dx, dy, valid):
+        r2 = dx * dx + dy * dy
+        ok = valid & (r2 > 1e-6) & (r2 < r_cut * r_cut)
+        # cos/sin(6 theta) via Chebyshev on (c, s) = (dx, dy)/r
+        inv = jax.lax.rsqrt(jnp.maximum(r2, 1e-6))
+        c, s = dx * inv, dy * inv
+        c2, s2 = c * c - s * s, 2 * c * s
+        c3, s3 = c2 * c - s2 * s, s2 * c + c2 * s
+        c6, s6 = c3 * c3 - s3 * s3, 2 * s3 * c3
+        w = ok.astype(jnp.float32)
+        return w, w * c6, w * s6
+
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        # intra-cell bonds (i -> j, ordered)
+        d = own[:, :, None] - own[:, None, :]
+        vv = (valid_i[:, None] & valid_i[None, :])
+        w, c6, s6 = accumulate(d[0], d[1], vv)
+        # neighbor-cell bonds
+        nbr_pos, nbr_occ = _cells.neighbor_stack(cfg, pos, occ, color)
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = own[None, :, :, None] - nbr_pos[:, :, None, :]
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        wn, c6n, s6n = accumulate(dx[:, 0], dx[:, 1], vx)
+        # per-particle normalization: psi6(i) = sum_j e^{6 i theta} / n_i
+        n_i = jnp.sum(w, axis=1) + jnp.sum(wn, axis=(0, 2))      # [nmax,*bs]
+        re_i = jnp.sum(c6, axis=1) + jnp.sum(c6n, axis=(0, 2))
+        im_i = jnp.sum(s6, axis=1) + jnp.sum(s6n, axis=(0, 2))
+        denom = jnp.maximum(n_i, 1.0)
+        live = valid_i.astype(jnp.float32)
+        re_sum = re_sum + jnp.sum(live * re_i / denom)
+        im_sum = im_sum + jnp.sum(live * im_i / denom)
+
+    return jnp.sqrt(re_sum**2 + im_sum**2) / jnp.maximum(n_tot, 1)
+
+
 def henderson_z_disks(phi: float) -> float:
     """Henderson (1975) hard-disk EOS Z(phi) — literature closed form used as
     the parity target for the hard-disk equation of state."""

@@ -141,3 +141,38 @@ def test_cell_list_contact_gr_matches_n2():
     z1 = observables.hard_disk_eos(r, L, 1.0, 2)
     z2 = observables.hard_disk_eos_state(cfg, (st.pos, st.occ), 1.0)
     assert abs(z1 - z2) < 1e-3 * max(1.0, abs(z1))
+
+
+def test_psi6_order_parameter():
+    """psi_6 ~ 1 on a perfect triangular lattice, ~0 for a dilute fluid."""
+    from mcjax.utils.observables import psi6_cells
+    # triangular lattice, 16x16 cells
+    a = 1.1  # lattice constant > diameter
+    nx, ny = 24, 14
+    pts = []
+    for iy in range(ny):
+        for ix in range(nx):
+            pts.append([ix * a + (iy % 2) * a / 2, iy * a * math.sqrt(3) / 2])
+    pts = np.array(pts, np.float32)
+    Lx = nx * a
+    Ly = ny * a * math.sqrt(3) / 2
+    L = max(Lx, Ly)  # embed in a square box (edges imperfect -> psi6 < 1)
+    pts = pts - L / 2
+    n = len(pts)
+    cps = int(L // 1.5) - int(L // 1.5) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=L, cells_per_side=cps,
+                    nmax=12, n_moves=2)
+    from mcjax.ops import cells as C
+    pos, occ, ovf = C.bin_particles(cfg, jnp.asarray(pts))
+    assert not bool(ovf)
+    psi_solid = float(psi6_cells(cfg, pos, occ))
+    assert psi_solid > 0.7, psi_solid
+
+    # dilute random fluid -> small psi6
+    import jax
+    r = jax.random.uniform(jax.random.key(0), (n, 2), minval=-L / 2,
+                           maxval=L / 2)
+    pos2, occ2, _ = C.bin_particles(cfg, r)
+    psi_fluid = float(psi6_cells(cfg, pos2, occ2))
+    assert psi_fluid < 0.3, psi_fluid
+    assert psi_solid > 2 * psi_fluid
