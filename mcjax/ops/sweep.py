@@ -283,6 +283,35 @@ def run_sweeps(cfg: SimConfig, pot: Potential, state: SimState,
     return jax.lax.scan(body, state, length=n_sweeps)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 3, 4))
+def run_sweeps_record(cfg: SimConfig, pot: Potential, state: SimState,
+                      n_frames: int, sweeps_per_frame: int,
+                      beta: jax.Array | None = None
+                      ) -> tuple[SimState, jax.Array, SweepMetrics]:
+    """Run n_frames x sweeps_per_frame sweeps, recording an unbinned
+    [n_frames, n_atoms, dim] trajectory entirely on device.
+
+    The reference's VISUALISATION path copies the whole cell list to the host
+    every sweep (kernel.cu:696-700, "NOTE: Execution will be slow"); here
+    frames are stacked by the scan and fetched once. Feed the result to
+    utils.io.write_lammps_dump for OVITO.
+    """
+
+    def frame_body(st, _):
+        def body(s, _):
+            s, m = mc_sweep(cfg, pot, s, beta=beta)
+            return s, m
+        st, ms = jax.lax.scan(body, st, length=sweeps_per_frame)
+        frame = cells.unbin(cfg, st.pos, st.occ)
+        agg = SweepMetrics(jnp.sum(ms.delta_e), jnp.sum(ms.accepted),
+                           jnp.sum(ms.proposed), jnp.any(ms.overflow))
+        return st, (frame, agg)
+
+    state, (frames, metrics) = jax.lax.scan(frame_body, state,
+                                            length=n_frames)
+    return state, frames, metrics
+
+
 def total_energy_cells(cfg: SimConfig, pot: Potential, pos: jax.Array,
                        occ: jax.Array,
                        shift_fn: ShiftFn = roll_shift_fn) -> jax.Array:

@@ -146,3 +146,27 @@ def test_lj_equilibrium_energy_parity_with_serial_chain():
     se = math.sqrt(eng.var() / len(eng) + ser.var() / len(ser))
     assert abs(eng.mean() - ser.mean()) < max(5 * se, 0.08 * abs(ser.mean())), (
         eng.mean(), ser.mean(), se)
+
+
+def test_run_sweeps_record_trajectory():
+    """On-device trajectory recording (VISUALISATION parity without the
+    reference's per-sweep D2H copies, kernel.cu:696-700)."""
+    from mcjax.ops.sweep import run_sweeps_record
+    cfg = lj_cfg(n_moves=4)
+    st = init_state(cfg)
+    st2, frames, m = run_sweeps_record(cfg, LJ, st, n_frames=4,
+                                       sweeps_per_frame=3)
+    assert frames.shape == (4, cfg.n_atoms, 3)
+    assert int(st2.sweep) == 12
+    assert m.delta_e.shape == (4,)
+    # final frame == unbinned final state
+    np.testing.assert_allclose(
+        np.asarray(frames[-1]),
+        np.asarray(cells.unbin(cfg, st2.pos, st2.occ)), atol=1e-6)
+    # frames are inside the box and dumpable
+    assert np.abs(np.asarray(frames)).max() <= cfg.box_length / 2 + 1e-5
+    from mcjax.utils import io as mio
+    import io as _io
+    buf = _io.StringIO()
+    mio.write_lammps_dump(buf, np.asarray(frames), cfg.box_length)
+    assert buf.getvalue().count("ITEM: TIMESTEP") == 4
