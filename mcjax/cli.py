@@ -69,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def potential_from_args(args):
+    from mcjax.models.potentials import (HardSphere, LennardJones, SoftSphere,
+                                         WCA)
+    return {"lj": LennardJones(r_cut=2.5),
+            "hard": HardSphere(1.0),
+            "wca": WCA(),
+            "soft": SoftSphere()}[args.model]
+
+
 def config_from_args(args) -> tuple["SimConfig", "Potential"]:
     from mcjax.core.config import SimConfig
     from mcjax.models.potentials import (HardSphere, LennardJones, SoftSphere,
@@ -122,10 +131,7 @@ def config_from_args(args) -> tuple["SimConfig", "Potential"]:
                  proposal=proposal, step_size=args.step_size, beta=args.beta,
                  sweeps=args.sweeps, seed=args.seed)
 
-    pot = {"lj": LennardJones(r_cut=2.5),
-           "hard": HardSphere(1.0),
-           "wca": WCA(),
-           "soft": SoftSphere()}[args.model]
+    pot = potential_from_args(args)
     cfg.validate_against(pot.r_cut)
     return cfg, pot
 
@@ -143,7 +149,8 @@ def main(argv=None) -> int:
 
     if args.resume:
         cfg, state = io.load_checkpoint(args.resume)
-        _, pot = config_from_args(args)  # potential from flags
+        pot = potential_from_args(args)  # geometry comes from the checkpoint
+        cfg.validate_against(pot.r_cut)
         print(f"# resumed at sweep {int(state.sweep)}", file=sys.stderr)
     else:
         cfg, pot = config_from_args(args)
@@ -161,10 +168,12 @@ def main(argv=None) -> int:
 
     e = float(total_energy_cells(cfg, pot, state.pos, state.occ))
     if not args.quiet:
-        print(f"0: {e:.6f}")
+        print(f"{int(state.sweep)}: {e:.6f}")
 
     frames = []
-    n_chunks = max(1, cfg.sweeps // args.chunk)
+    # --sweeps is the number to run in THIS invocation (a resumed run's
+    # checkpoint carries the original cfg.sweeps, which is not what we want)
+    n_chunks = max(1, args.sweeps // args.chunk)
     t_start = time.perf_counter()
     proposed = accepted = 0
     for c in range(n_chunks):
