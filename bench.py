@@ -133,8 +133,9 @@ def main() -> None:
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
-    proposed = int(jnp.sum(m.proposed))
-    accepted = int(jnp.sum(m.accepted))
+    import numpy as np
+    proposed = int(np.sum(np.asarray(m.proposed, np.int64)))  # int32-safe
+    accepted = int(np.sum(np.asarray(m.accepted, np.int64)))
     moves_per_s = proposed / dt
     result = {
         "metric": "hard-disk MC trial moves/sec/chip (N=%d, phi=%.2f, %s)"

@@ -85,9 +85,18 @@ def read_lammps_dump(path: str) -> np.ndarray:
 # Checkpointing
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path: str, cfg: SimConfig, state: SimState) -> None:
-    """Persist config + full state; atomic-rename so a crash can't corrupt."""
+def save_checkpoint(path: str, cfg: SimConfig, state: SimState,
+                    pot=None) -> None:
+    """Persist config + potential + full state; atomic-rename so a crash
+    can't corrupt. The potential rides along so a resumed run cannot
+    silently continue under different physics (a resume must need no model
+    flags at all)."""
+    from mcjax.models.potentials import potential_to_dict
+
     tmp = path + ".tmp"
+    extra = {}
+    if pot is not None:
+        extra["potential_json"] = json.dumps(potential_to_dict(pot))
     np.savez(
         tmp if tmp.endswith(".npz") else tmp,
         pos=np.asarray(state.pos),
@@ -96,15 +105,22 @@ def save_checkpoint(path: str, cfg: SimConfig, state: SimState) -> None:
         sweep=np.asarray(state.sweep),
         overflow=np.asarray(state.overflow),
         config_json=json.dumps(dataclasses.asdict(cfg)),
+        **extra,
     )
     # np.savez appends .npz if missing
     src = tmp if tmp.endswith(".npz") else tmp + ".npz"
     os.replace(src, path)
 
 
-def load_checkpoint(path: str) -> tuple[SimConfig, SimState]:
+def load_checkpoint(path: str) -> tuple[SimConfig, SimState, "object | None"]:
+    """Returns (cfg, state, potential); potential is None for checkpoints
+    written without one (pre-round-2 files)."""
+    from mcjax.models.potentials import potential_from_dict
+
     with np.load(path, allow_pickle=False) as z:
         cfg = SimConfig(**json.loads(str(z["config_json"])))
+        pot = (potential_from_dict(json.loads(str(z["potential_json"])))
+               if "potential_json" in z else None)
         state = SimState(
             pos=jnp.asarray(z["pos"]),
             occ=jnp.asarray(z["occ"]),
@@ -112,16 +128,19 @@ def load_checkpoint(path: str) -> tuple[SimConfig, SimState]:
             sweep=jnp.asarray(z["sweep"]),
             overflow=jnp.asarray(z["overflow"]),
         )
-    return cfg, state
+    return cfg, state, pot
 
 
 # ---- orbax backend (sharded / async-capable checkpoints at pod scale) -----
 
-def save_checkpoint_orbax(path: str, cfg: SimConfig, state: SimState) -> None:
+def save_checkpoint_orbax(path: str, cfg: SimConfig, state: SimState,
+                          pot=None) -> None:
     """Orbax StandardCheckpointer backend: unlike the npz path this writes
     per-shard (no host gather), which is what a pod-scale domain-sharded run
     needs. The Threefry key is stored as raw key data."""
     import orbax.checkpoint as ocp
+
+    from mcjax.models.potentials import potential_to_dict
 
     payload = {
         "pos": state.pos,
@@ -133,19 +152,32 @@ def save_checkpoint_orbax(path: str, cfg: SimConfig, state: SimState) -> None:
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    # orbax stores arrays only; the static config rides in a JSON sidecar
+    # orbax stores arrays only; static config + potential ride in a sidecar
+    sidecar = {"config": dataclasses.asdict(cfg)}
+    if pot is not None:
+        sidecar["potential"] = potential_to_dict(pot)
     with open(path + ".config.json", "w") as fh:
-        json.dump(dataclasses.asdict(cfg), fh)
+        json.dump(sidecar, fh)
 
 
-def load_checkpoint_orbax(path: str) -> tuple[SimConfig, SimState]:
+def load_checkpoint_orbax(path: str) -> tuple[SimConfig, SimState,
+                                              "object | None"]:
     import orbax.checkpoint as ocp
+
+    from mcjax.models.potentials import potential_from_dict
 
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         z = ckptr.restore(path)
     with open(path + ".config.json") as fh:
-        cfg = SimConfig(**json.load(fh))
+        sidecar = json.load(fh)
+    if "config" in sidecar:
+        cfg = SimConfig(**sidecar["config"])
+        pot = (potential_from_dict(sidecar["potential"])
+               if "potential" in sidecar else None)
+    else:  # pre-round-2 sidecar: bare config dict, no potential
+        cfg = SimConfig(**sidecar)
+        pot = None
     state = SimState(
         pos=jnp.asarray(z["pos"]),
         occ=jnp.asarray(z["occ"]),
@@ -153,7 +185,7 @@ def load_checkpoint_orbax(path: str) -> tuple[SimConfig, SimState]:
         sweep=jnp.asarray(z["sweep"]),
         overflow=jnp.asarray(z["overflow"]),
     )
-    return cfg, state
+    return cfg, state, pot
 
 
 def load_config_file(path: str) -> SimConfig:

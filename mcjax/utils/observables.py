@@ -118,6 +118,15 @@ def contact_shell_gr_cells(cfg, pos: jax.Array, occ: jax.Array,
     """
     from mcjax.ops import cells as _cells
 
+    # The one-ring neighbor stack only sees pairs with per-axis cell
+    # separation <= 1, i.e. it is complete only out to r = cell_width; a
+    # wider shell would be silently biased low (ADVICE r1).
+    if diameter * (1.0 + window) > cfg.cell_width + 1e-9:
+        raise ValueError(
+            f"contact shell extends to {diameter * (1 + window)} but "
+            f"cell_width is {cfg.cell_width}; one-ring coverage would miss "
+            "pairs — enlarge cells or shrink the window")
+
     nmax, dim = cfg.nmax, cfg.dim
     dr = diameter * window / n_bins
     lo2 = diameter * diameter
@@ -160,6 +169,109 @@ def contact_shell_gr_cells(cfg, pos: jax.Array, occ: jax.Array,
              else 4.0 * math.pi * centers**2 * dr)
     ideal = n_tot * rho * shell / 2.0
     return counts / ideal
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def radial_distribution_cells(cfg, pos: jax.Array, occ: jax.Array,
+                              n_bins: int, r_max: float
+                              ) -> tuple[jax.Array, jax.Array]:
+    """Full g(r) histogram from the cell-list state — O(N x neighborhood).
+
+    The production-scale counterpart of ``radial_distribution`` (whose O(N^2)
+    pass dies at the N=1M flagship workload): same bins, same normalization,
+    parity-tested. Requires r_max <= cell_width (the one-ring neighbor stack
+    is only complete out to one cell width).
+    """
+    from mcjax.ops import cells as _cells
+
+    if r_max > cfg.cell_width + 1e-9:
+        raise ValueError(
+            f"r_max {r_max} > cell_width {cfg.cell_width}: one-ring coverage "
+            "is incomplete beyond one cell width — reduce r_max or enlarge "
+            "cells")
+
+    nmax, dim = cfg.nmax, cfg.dim
+    dr = r_max / n_bins
+    counts = jnp.zeros((n_bins,), jnp.float32)
+    n_tot = jnp.sum(occ)
+
+    def add_pairs(counts, r2, valid):
+        r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        inside = valid & (r2 > 1e-12) & (r < r_max)
+        bins = jnp.floor(r / dr).astype(jnp.int32)
+        # each ordered pair appears exactly twice across the color loop
+        return counts.at[bins.ravel()].add(
+            jnp.where(inside, 0.5, 0.0).ravel(), mode="drop")
+
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        d = min_image(own[:, :, None] - own[:, None, :],
+                      box_length=cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        vv = (valid_i[:, None] & valid_i[None, :]
+              & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
+                 ).reshape((nmax, nmax) + (1,) * len(bs)))
+        counts = add_pairs(counts, r2, vv)
+        nbr_pos, nbr_occ = _cells.neighbor_stack(cfg, pos, occ, color)
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = own[None, :, :, None] - nbr_pos[:, :, None, :]
+        r2x = jnp.sum(dx * dx, axis=1)
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        counts = add_pairs(counts, r2x, vx)
+
+    centers = (jnp.arange(n_bins) + 0.5) * dr
+    rho = n_tot / cfg.box_length**dim
+    shell = (2.0 * math.pi * centers * dr if dim == 2
+             else 4.0 * math.pi * centers**2 * dr)
+    ideal = n_tot * rho * shell / 2.0
+    return centers, counts / ideal
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def virial_pressure_cells(cfg, pot: Potential, pos: jax.Array,
+                          occ: jax.Array, beta: float) -> jax.Array:
+    """Virial pressure from the cell-list state — the N >= 1M counterpart of
+    ``virial_pressure`` (parity-tested). Needs pot.r_cut <= cell_width, which
+    SimConfig.validate_against already enforces for any running simulation.
+    """
+    from mcjax.ops import cells as _cells
+
+    nmax, dim = cfg.nmax, cfg.dim
+    n_tot = jnp.sum(occ)
+
+    def pair_w(r2, valid):
+        # w(r2) = -2 r2 dV/dr2 == -r dV/dr, elementwise via autodiff
+        de_dr2 = jax.grad(lambda s: jnp.sum(pot.pair_energy(s)))(r2)
+        return jnp.sum(jnp.where(valid, -2.0 * r2 * de_dr2, 0.0))
+
+    w_sum = jnp.float32(0.0)
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        d = min_image(own[:, :, None] - own[:, None, :],
+                      box_length=cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        vv = (valid_i[:, None] & valid_i[None, :]
+              & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
+                 ).reshape((nmax, nmax) + (1,) * len(bs)))
+        w_sum = w_sum + 0.5 * pair_w(r2, vv)
+        nbr_pos, nbr_occ = _cells.neighbor_stack(cfg, pos, occ, color)
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = own[None, :, :, None] - nbr_pos[:, :, None, :]
+        r2x = jnp.sum(dx * dx, axis=1)
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        w_sum = w_sum + 0.5 * pair_w(r2x, vx)
+
+    volume = cfg.box_length**dim
+    rho = n_tot / volume
+    return rho / beta + w_sum / (dim * volume)
 
 
 def hard_disk_eos_state(cfg, states_pos_occ, diameter: float,
@@ -236,6 +348,10 @@ def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
 
     nmax, dim = cfg.nmax, cfg.dim
     assert dim == 2, "psi_6 is a 2D observable"
+    if r_cut > cfg.cell_width + 1e-9:
+        raise ValueError(
+            f"psi_6 r_cut {r_cut} > cell_width {cfg.cell_width}: one-ring "
+            "neighbor coverage would silently miss bonds (ADVICE r1)")
     re_sum = jnp.float32(0.0)
     im_sum = jnp.float32(0.0)
     n_tot = jnp.sum(occ)

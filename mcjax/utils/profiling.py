@@ -56,8 +56,11 @@ def throughput(cfg, pot, state, runner, n_sweeps: int = 10,
     st2, m = runner(cfg, pot, st, n_sweeps)
     _force(m.delta_e)
     dt = time.perf_counter() - t0
-    proposed = int(jnp.sum(m.proposed))
-    accepted = int(jnp.sum(m.accepted))
+    # per-sweep counters are int32 on device; sum in 64-bit on the host
+    # (a long timed run at N=1M, n_M=64 overflows int32 within ~60 sweeps)
+    import numpy as np
+    proposed = int(np.sum(np.asarray(m.proposed, np.int64)))
+    accepted = int(np.sum(np.asarray(m.accepted, np.int64)))
     return {
         "seconds": dt,
         "sweeps_per_s": n_sweeps / dt,

@@ -54,6 +54,34 @@ def test_lattice_matches_reference_formula():
     np.testing.assert_allclose(r, expected, atol=1e-6)
 
 
+def test_triangular_lattice_solid_branch():
+    # close-packed init for the melting study: overlap-free at phi=0.72 and
+    # near-perfect |psi_6| (solid branch), unlike the square lattice
+    import math
+
+    from mcjax.core.state import init_state
+    from mcjax.utils.observables import psi6_cells
+
+    phi, n = 0.72, 64 * 66
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 2.0) - int(box // 2.0) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=12, n_moves=4, proposal="uniform", step_size=0.05,
+                    beta=1.0)
+    p = np.asarray(cells.triangular_lattice_positions(cfg))
+    assert p.shape == (n, 2)
+    assert (p >= -box / 2).all() and (p < box / 2).all()
+    d = p[:, None, :] - p[None, :, :]
+    d -= box * np.round(d / box)
+    r = np.sqrt((d * d).sum(-1)) + np.eye(n) * 1e9
+    assert r.min() > 1.0  # no overlapping disks at the melting density
+    st = init_state(cfg, positions=jnp.asarray(p))
+    assert not bool(st.overflow)
+    assert float(psi6_cells(cfg, st.pos, st.occ, r_cut=1.3)) > 0.9
+    with pytest.raises(ValueError, match="factorization"):
+        cells.triangular_rows(1048577, 1000.0)  # prime-ish N: no (nx, even ny)
+
+
 # ---- binning ---------------------------------------------------------------
 
 def test_bin_unbin_roundtrip():

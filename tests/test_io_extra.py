@@ -24,9 +24,10 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     st = init_state(cfg)
     mid, _ = run_sweeps(cfg, lj, st, 5)
     p = str(tmp_path / "ck_orbax")
-    io.save_checkpoint_orbax(p, cfg, mid)
-    cfg2, loaded = io.load_checkpoint_orbax(p)
+    io.save_checkpoint_orbax(p, cfg, mid, lj)
+    cfg2, loaded, pot2 = io.load_checkpoint_orbax(p)
     assert cfg2 == cfg
+    assert pot2 == lj
     resumed, _ = run_sweeps(cfg2, lj, loaded, 3)
     full, _ = run_sweeps(cfg, lj, st, 8)
     np.testing.assert_array_equal(np.asarray(resumed.pos), np.asarray(full.pos))

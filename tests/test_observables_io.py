@@ -42,6 +42,61 @@ def test_virial_pressure_two_particles_closed_form():
     np.testing.assert_allclose(float(p), expected, rtol=1e-4)
 
 
+def test_radial_distribution_cells_parity():
+    # cell-list g(r) must match the O(N^2) pass bin-for-bin out to one cell
+    # width (the production path for N >= 1M where O(N^2) is impossible)
+    n, phi = 256, 0.4
+    L = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(L // 1.3) - int(L // 1.3) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=L, cells_per_side=cps,
+                    nmax=10, n_moves=4, proposal="uniform", step_size=0.2,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, hs, st, 30)
+    n_bins = 24
+    r_max = cfg.cell_width
+    c1, g1 = observables.radial_distribution(
+        cells.unbin(cfg, st.pos, st.occ), L, n_bins, r_max, 2)
+    c2, g2 = observables.radial_distribution_cells(cfg, st.pos, st.occ,
+                                                   n_bins, r_max)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError, match="one-ring"):
+        observables.radial_distribution_cells(cfg, st.pos, st.occ, n_bins,
+                                              cfg.cell_width * 1.5)
+
+
+def test_virial_pressure_cells_parity():
+    cfg = SimConfig(dim=3, n_atoms=64, box_length=10.0, cells_per_side=4,
+                    nmax=10, n_moves=4)
+    lj = LennardJones()
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, lj, st, 10)
+    p_ref = observables.virial_pressure(lj, cells.unbin(cfg, st.pos, st.occ),
+                                        cfg.box_length, cfg.beta, 3)
+    p_cells = observables.virial_pressure_cells(cfg, lj, st.pos, st.occ,
+                                                cfg.beta)
+    np.testing.assert_allclose(float(p_cells), float(p_ref), rtol=2e-4)
+
+
+def test_cell_observable_coverage_guards():
+    # psi_6 / contact-shell wider than one cell width must hard-error, not
+    # silently bias low (ADVICE r1)
+    n, phi = 128, 0.4
+    L = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(L // 1.0) - int(L // 1.0) % 2  # cell_width ~ 1.0
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=L, cells_per_side=cps,
+                    nmax=8, n_moves=2, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    st = init_state(cfg)
+    with pytest.raises(ValueError, match="one-ring"):
+        observables.psi6_cells(cfg, st.pos, st.occ, r_cut=1.4)
+    with pytest.raises(ValueError, match="one-ring"):
+        observables.contact_shell_gr_cells(cfg, st.pos, st.occ, 1.0, 8, 0.3)
+
+
 def test_energy_trace_shape():
     t = observables.energy_trace(jnp.float32(-3.0), jnp.ones(5))
     np.testing.assert_allclose(np.asarray(t), [-2, -1, 0, 1, 2])
@@ -86,9 +141,10 @@ def test_checkpoint_resume_bitwise(tmp_path):
     st = init_state(cfg)
     mid, _ = run_sweeps(cfg, lj, st, 7)
     p = str(tmp_path / "ck.npz")
-    io.save_checkpoint(p, cfg, mid)
-    cfg2, loaded = io.load_checkpoint(p)
+    io.save_checkpoint(p, cfg, mid, lj)
+    cfg2, loaded, pot2 = io.load_checkpoint(p)
     assert cfg2 == cfg
+    assert pot2 == lj  # checkpoint carries the physics, not just geometry
     resumed, _ = run_sweeps(cfg2, lj, loaded, 5)
     full, _ = run_sweeps(cfg, lj, st, 12)
     np.testing.assert_array_equal(np.asarray(resumed.pos), np.asarray(full.pos))
