@@ -53,13 +53,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
-                 beta_static: float | None):
+                 beta_static: float | None, neighbor_unroll: int = 1):
     """Build the kernel body (closure over static config/potential).
 
     The neighbor pair loop is fully unrolled for small neighborhoods (2D:
     8 x nmax iterations — best runtime) but becomes a ``fori_loop`` over the
     neighbor-cell index for 3D (26 cells), where a full unroll makes Mosaic
     compilation take tens of minutes; the per-cell slot loop stays unrolled.
+    ``neighbor_unroll`` partially unrolls the 3D fori_loop (2-4 amortizes
+    the loop's dynamic plane indexing without the full-unroll compile blowup).
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     w = cfg.cell_width
@@ -142,7 +144,8 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 e_old, e_new, ov_new = jax.lax.fori_loop(
                     0, n_k,
                     lambda k, c: nbr_cell_pairs(k, *c),
-                    (e_old, e_new, ov_new))
+                    (e_old, e_new, ov_new),
+                    unroll=neighbor_unroll)
 
             # own-cell pairs (excluding the moving particle)
             for j in range(nmax):
@@ -188,7 +191,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          block_offset: jax.Array | None = None,
                          *, tile_rows: int = 8, tile_cols: int = 128,
                          interpret: bool = False,
-                         vma: tuple[str, ...] | None = None
+                         vma: tuple[str, ...] | None = None,
+                         neighbor_unroll: int = 1
                          ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for sweep.color_substep backed by the Pallas kernel.
 
@@ -243,7 +247,7 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     else:
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
 
-    kernel = _make_kernel(cfg, pot, n_k, beta_static)
+    kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll)
     grid = (rp // tile_rows, cp // tile_cols)
 
     def bspec(lead):
@@ -313,13 +317,15 @@ def recommended_engine(cfg: SimConfig, vmem_budget: int = 24 * 2**20) -> str:
 
 def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
                         interpret: bool = False,
-                        vma: tuple[str, ...] | None = None):
+                        vma: tuple[str, ...] | None = None,
+                        neighbor_unroll: int = 1):
     """A color_substep-compatible function with chosen tiling.
 
     ``vma``: mesh axis names the state varies over when running inside
     shard_map (e.g. ("y", "x")); None on a single chip."""
     return partial(pallas_color_substep, tile_rows=tile_rows,
-                   tile_cols=tile_cols, interpret=interpret, vma=vma)
+                   tile_cols=tile_cols, interpret=interpret, vma=vma,
+                   neighbor_unroll=neighbor_unroll)
 
 
 def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
@@ -332,21 +338,34 @@ def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
     return 8
 
 
-@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
 def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
                       n_sweeps: int, tile_rows: int = 0, tile_cols: int = 128,
-                      interpret: bool = False
+                      interpret: bool = False, pallas_shift: bool = False,
+                      neighbor_unroll: int = 1
                       ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """run_sweeps with the Pallas sub-sweep kernel (single chip).
 
     tile_rows=0 auto-selects the largest VMEM-fitting row tile.
+    ``pallas_shift=True`` swaps in the Pallas grid-shift merge kernel —
+    bitwise identical to the XLA cumsum shift (tests/test_pallas_shift.py)
+    but measured slightly slower at N=1M (its donor prep re-does the
+    lane-axis rolls; docs/PERF.md round-2 breakdown), so the XLA shift stays
+    the default.
     """
     if tile_rows == 0:
         tile_rows = auto_tile_rows(cfg, tile_cols)
-    substep = make_pallas_substep(tile_rows, tile_cols, interpret)
+    substep = make_pallas_substep(tile_rows, tile_cols, interpret,
+                                  neighbor_unroll=neighbor_unroll)
+    shift_rebin_fn = None
+    if pallas_shift:
+        from mcjax.ops.pallas_shift import pallas_shift_rebin
+        shift_rebin_fn = partial(pallas_shift_rebin, tile_rows=tile_rows,
+                                 tile_cols=tile_cols, interpret=interpret)
 
     def body(st, _):
-        st, m = xla_sweep.mc_sweep(cfg, pot, st, substep_fn=substep)
+        st, m = xla_sweep.mc_sweep(cfg, pot, st, substep_fn=substep,
+                                   shift_rebin_fn=shift_rebin_fn)
         return st, m
 
     return jax.lax.scan(body, state, length=n_sweeps)

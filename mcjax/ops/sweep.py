@@ -208,6 +208,7 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
              block_offset: jax.Array | None = None,
              shard_id: jax.Array | None = None,
              substep_fn=None,
+             shift_rebin_fn=None,
              ) -> tuple[SimState, SweepMetrics]:
     """One full MC sweep: shuffled colors x sub-sweeps, then a random grid shift.
 
@@ -227,6 +228,8 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
 
     if substep_fn is None:
         substep_fn = color_substep
+    if shift_rebin_fn is None:
+        shift_rebin_fn = cells.shift_rebin
 
     def substep_branch(color: int, pos, occ, k):
         own_new, de, na, np_ = substep_fn(cfg, pot, color, pos, occ, k,
@@ -254,8 +257,8 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
     do_shift = (state.sweep + 1) % cfg.shift_every == 0
     pos, occ, ovf = jax.lax.cond(
         do_shift,
-        lambda: cells.shift_rebin(cfg, pos, state.occ, axis, d, shift_fn,
-                                  block_offset),
+        lambda: shift_rebin_fn(cfg, pos, state.occ, axis, d, shift_fn,
+                               block_offset),
         lambda: (pos, state.occ, jnp.any(state.occ < 0)))  # always-False, but
     # derived from sharded data so both cond branches agree on varying axes.
 
