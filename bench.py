@@ -190,7 +190,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_048_576)
     ap.add_argument("--phi", type=float, default=0.5)
     ap.add_argument("--wfac", type=float, default=2.0)
-    ap.add_argument("--nmax", type=int, default=10)
+    ap.add_argument("--nmax", type=int, default=None,
+                    help="slab capacity (default: 7 for hard-disk — soaked "
+                         "1k sweeps overflow-free at phi=0.5 — and 30 for "
+                         "lj3d at rho=0.8)")
     ap.add_argument("--moves", type=int, default=64)
     ap.add_argument("--sweeps", type=int, default=100,
                     help="timed scan length (>=100 keeps the ~30 ms tunnel "
@@ -210,9 +213,11 @@ def main() -> None:
     if args.workload == "lj3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_lj3d(n, min(args.sweeps, 30), args.moves if args.moves != 64
-                   else 15, args.nmax if args.nmax != 10 else 26,
+                   else 15, args.nmax or 30,
                    args.tile_rows, args.neighbor_unroll)
         return
+    if args.nmax is None:
+        args.nmax = 7
 
     if args.workload == "reference-lj":
         eng = args.engine if args.engine != "auto" else "xla"
