@@ -137,7 +137,8 @@ def sharded_pallas_check() -> None:
 
 
 def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
-               tile_rows: int, neighbor_unroll: int) -> None:
+               tile_rows: int, neighbor_unroll: int,
+               pallas_shift: bool = False) -> None:
     """3D Lennard-Jones at the reference's own density (rho = 0.8,
     kernel.cu:17-29: 800 atoms in a 10^3 box) scaled to production N —
     the reference's physics, not just the 2D hard-disk headline
@@ -159,11 +160,11 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     state = init_state(cfg)
 
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
-                              False, False, neighbor_unroll)
+                              False, pallas_shift, neighbor_unroll)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, pot, st, sweeps, tile_rows, 128,
-                               False, False, neighbor_unroll)
+                               False, pallas_shift, neighbor_unroll)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -206,6 +207,9 @@ def main() -> None:
                     default="hard-disk")
     ap.add_argument("--tile-rows", type=int, default=0)
     ap.add_argument("--neighbor-unroll", type=int, default=2)
+    ap.add_argument("--pallas-shift", action="store_true",
+                    help="use the Pallas grid-shift kernel (wins for 3D "
+                         "where the XLA merge runs on lane-hostile tiles)")
     ap.add_argument("--no-sharded-check", action="store_true",
                     help="skip the compiled sharded-Pallas parity check")
     args = ap.parse_args()
@@ -214,7 +218,7 @@ def main() -> None:
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_lj3d(n, min(args.sweeps, 30), args.moves if args.moves != 64
                    else 15, args.nmax or 30,
-                   args.tile_rows, args.neighbor_unroll)
+                   args.tile_rows, args.neighbor_unroll, args.pallas_shift)
         return
     if args.nmax is None:
         args.nmax = 7

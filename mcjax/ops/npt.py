@@ -1,0 +1,118 @@
+"""NPT (isothermal-isobaric) ensemble: volume moves on top of the sweep engine.
+
+The reference is NVT-only (kernel.cu's box is a compile-time constant); NPT
+is a capability extension (docs/ROADMAP.md) built so the hot path stays
+untouched:
+
+* **Stored-frame convention.** ``cfg.box_length`` is the reference box L0
+  and stays STATIC (it drives jit specialization and the cell geometry).
+  The state carries a traced ``log_scale``; the physical box is s*L0 and the
+  physical coordinates are s x the stored ones. A volume move rescales the
+  box AND all coordinates uniformly — in the stored frame nothing moves, so
+  particles keep their cells, binning/grid shifts are unchanged, and the
+  ONLY effect is on pair distances: r^2_phys = s^2 r~^2 (plumbed through
+  ``color_substep``/``total_interaction_cells`` as the traced ``scale``).
+* **Volume moves in ln V** (Frenkel & Smit, Understanding Molecular
+  Simulation, alg. 11): propose dlnV ~ U(-delta, delta), accept with
+  min(1, exp(-beta dU - beta P dV + (N+1) dlnV)); hard-core overlap or a
+  physical cell width below the potential cutoff (one-ring coverage
+  contract) rejects outright.
+
+Particle sweeps use the XLA engine (scale-aware); the Pallas kernel can be
+taught the same SMEM scalar later if NPT becomes a hot workload.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import SimState
+from mcjax.models.potentials import Potential
+from mcjax.ops.sweep import (SweepMetrics, mc_sweep, total_interaction_cells)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NPTState:
+    """NVT SimState + the traced box-scale factor (as log s)."""
+
+    sim: SimState
+    log_scale: jax.Array
+
+    @property
+    def scale(self) -> jax.Array:
+        return jnp.exp(self.log_scale)
+
+
+class NPTMetrics(NamedTuple):
+    sweep: SweepMetrics       # particle-move metrics (per sweep)
+    vol_accepted: jax.Array   # volume move accepted this sweep?
+    volume: jax.Array         # physical volume after the move
+    energy: jax.Array         # physical total energy after the move
+
+
+def init_npt(state: SimState) -> NPTState:
+    return NPTState(sim=state, log_scale=jnp.zeros((), jnp.float32))
+
+
+def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
+              pressure: float, dlnv_max: float = 0.02,
+              beta: jax.Array | float | None = None
+              ) -> tuple[NPTState, NPTMetrics]:
+    """One NPT MC sweep: a full particle sweep at fixed volume, then one
+    ln-V volume move."""
+    if beta is None:
+        beta = cfg.beta
+    dim, n = cfg.dim, cfg.n_atoms
+    l0 = cfg.box_length
+
+    s = jnp.exp(nst.log_scale)
+    sim, m = mc_sweep(cfg, pot, nst.sim, scale=s)
+
+    # volume-move randomness: a stream disjoint from mc_sweep's
+    # fold_in(key, sweep) tree (negative tags never collide with sweep >= 0)
+    kv = jax.random.fold_in(sim.key, -(sim.sweep + 1))
+    k_prop, k_acc = jax.random.split(kv)
+    dlnv = jax.random.uniform(k_prop, (), minval=-dlnv_max, maxval=dlnv_max)
+    s_new = s * jnp.exp(dlnv / dim)
+
+    u_old, _ = total_interaction_cells(cfg, pot, sim.pos, sim.occ, scale=s)
+    u_new, ov_new = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
+                                            scale=s_new)
+    v_old = (s * l0) ** dim
+    v_new = (s_new * l0) ** dim
+    ln_acc = (-beta * (u_new - u_old) - beta * pressure * (v_new - v_old)
+              + (n + 1) * dlnv)
+    # one-ring coverage contract: physical cell width must stay >= r_cut
+    ok_geom = s_new * cfg.cell_width >= pot.r_cut
+    u = jax.random.uniform(k_acc, (), minval=1e-38, maxval=1.0)
+    accept = ok_geom & ~ov_new & (jnp.log(u) < ln_acc)
+
+    log_scale = jnp.where(accept, nst.log_scale + dlnv / dim, nst.log_scale)
+    s_fin = jnp.exp(log_scale)
+    metrics = NPTMetrics(
+        sweep=m,
+        vol_accepted=accept,
+        volume=(s_fin * l0) ** dim,
+        energy=jnp.where(accept, u_new, u_old),
+    )
+    return NPTState(sim=sim, log_scale=log_scale), metrics
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def run_npt(cfg: SimConfig, pot: Potential, nst: NPTState, pressure: float,
+            n_sweeps: int, dlnv_max: float = 0.02
+            ) -> tuple[NPTState, NPTMetrics]:
+    """n_sweeps NPT sweeps as one scan; metrics stacked per sweep."""
+
+    def body(st, _):
+        st, m = npt_sweep(cfg, pot, st, pressure, dlnv_max)
+        return st, m
+
+    return jax.lax.scan(body, nst, length=n_sweeps)

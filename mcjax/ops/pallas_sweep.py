@@ -67,7 +67,9 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     w = cfg.cell_width
     hard = pot.has_hard_core
     energetic = pot.has_energy
-    unroll_neighbors = n_k <= 8
+    # full static unroll when asked (neighbor_unroll >= n_k): slower Mosaic
+    # compile, but every plane index becomes static
+    unroll_neighbors = n_k <= 8 or neighbor_unroll >= n_k
 
     def kernel(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
                pick_ref, disp_ref, accu_ref, beta_ref,
@@ -141,11 +143,20 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     e_old, e_new, ov_new = nbr_cell_pairs(k, e_old, e_new,
                                                           ov_new)
             else:
+                # manual partial unroll (Mosaic's fori_loop only lowers
+                # unroll=1 or full): u bodies per iteration + static tail
+                u = max(1, min(neighbor_unroll, n_k))
+
+                def k_block(b, c):
+                    for uu in range(u):
+                        c = nbr_cell_pairs(b * u + uu, *c)
+                    return c
+
                 e_old, e_new, ov_new = jax.lax.fori_loop(
-                    0, n_k,
-                    lambda k, c: nbr_cell_pairs(k, *c),
-                    (e_old, e_new, ov_new),
-                    unroll=neighbor_unroll)
+                    0, n_k // u, k_block, (e_old, e_new, ov_new))
+                for k in range((n_k // u) * u, n_k):
+                    e_old, e_new, ov_new = nbr_cell_pairs(k, e_old, e_new,
+                                                          ov_new)
 
             # own-cell pairs (excluding the moving particle)
             for j in range(nmax):
@@ -210,7 +221,12 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     n_cells = math.prod(bs)
     nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
                                             block_offset)
-    pick_u, disp, acc_u = xla_sweep.substep_randoms(cfg, key, bs)
+    # Generate the random tensors with a FLAT trailing cell axis: bitwise the
+    # same values as the XLA engine's [*bs]-shaped draw (row-major reshape of
+    # an identical stream), but at full lane occupancy — 3D block shapes like
+    # (21, 21, 21) run XLA elementwise ops at ~16% of the lanes.
+    pick_u, disp, acc_u = xla_sweep.substep_randoms(
+        cfg, key, (n_cells,), need_acc=pot.has_energy)
     lb = xla_sweep._cell_lower_bounds(cfg, color, bs, block_offset)
 
     # ---- flatten the cell grid into full-width lane tiles -----------------

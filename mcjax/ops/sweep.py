@@ -75,13 +75,19 @@ def _cell_lower_bounds(cfg: SimConfig, color: int,
     return jnp.stack(lbs, axis=0)
 
 
-def substep_randoms(cfg: SimConfig, key: jax.Array, bs: tuple[int, ...]
+def substep_randoms(cfg: SimConfig, key: jax.Array, bs: tuple[int, ...],
+                    need_acc: bool = True
                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The per-color-substep random tensors: particle picks, displacements,
     acceptance uniforms. Factored out so the XLA and Pallas sub-sweep
     implementations consume *identical* Threefry streams (the Pallas path is
     then bitwise-testable against the XLA path for hard-core models, whose
-    accept decisions involve no floating-point accumulation order)."""
+    accept decisions involve no floating-point accumulation order).
+
+    ``need_acc=False`` (pure hard-core models, whose accept rule never reads
+    a uniform) skips generating the acceptance tensor; the pick/displacement
+    streams are unchanged (k_acc is still split off), so trajectories are
+    bitwise identical either way."""
     n_m, dim = cfg.n_moves, cfg.dim
     k_pick, k_disp, k_acc = jax.random.split(key, 3)
     pick_u = jax.random.uniform(k_pick, (n_m, *bs))
@@ -91,7 +97,8 @@ def substep_randoms(cfg: SimConfig, key: jax.Array, bs: tuple[int, ...]
     else:
         disp = jax.random.uniform(k_disp, (n_m, dim, *bs),
                                   minval=-cfg.step_size, maxval=cfg.step_size)
-    acc_u = jax.random.uniform(k_acc, (n_m, *bs))
+    acc_u = (jax.random.uniform(k_acc, (n_m, *bs)) if need_acc
+             else jnp.zeros((n_m, *bs), jnp.float32))
     return pick_u, disp, acc_u
 
 
@@ -99,7 +106,8 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
                   pos: jax.Array, occ: jax.Array, key: jax.Array,
                   shift_fn: ShiftFn = roll_shift_fn,
                   beta: jax.Array | float | None = None,
-                  block_offset: jax.Array | None = None
+                  block_offset: jax.Array | None = None,
+                  scale: jax.Array | None = None
                   ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run n_M Metropolis trial moves in every cell of one checkerboard color.
 
@@ -108,7 +116,9 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     other color blocks (checkerboard non-adjacency by construction).
 
     ``beta`` may be traced (parallel tempering); ``block_offset`` is the
-    shard's global block offset under domain sharding.
+    shard's global block offset under domain sharding. ``scale`` (traced) is
+    the NPT box-scale factor: coordinates live in the stored frame (static
+    cell geometry) and physical r^2 = scale^2 * stored r^2 (mcjax.ops.npt).
 
     Returns: (new own-color block [dim, nmax, *bs], dE scalar, accepted, proposed).
     """
@@ -123,7 +133,8 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     lbp = _cell_lower_bounds(cfg, color, bs, block_offset)  # [dim, *bs]
     w = cfg.cell_width
 
-    pick_u, dispp, acc_u = substep_randoms(cfg, key, bs)
+    pick_u, dispp, acc_u = substep_randoms(cfg, key, bs,
+                                           need_acc=pot.has_energy)
 
     # Everything is already in coordinate-planes layout: trailing axes = the
     # cell grid, so the big spatial extent sits on the TPU lane/sublane dims
@@ -148,13 +159,18 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
         and neighbor planes come pre-unwrapped across the periodic boundary
         (cells.neighbor_stack), so raw differences are already minimal.
         """
+        s2 = None if scale is None else scale * scale
         d_own = x[:, None] - ownp_cur
         r2_own = jnp.sum(d_own * d_own, axis=0)           # [nmax, *bs]
+        if s2 is not None:
+            r2_own = s2 * r2_own
         valid_own = (slot < own_count) & ~sel
         e_o, ov_o = pair_interaction(pot, r2_own, valid_own)
 
         d_nbr = x[None, :, None] - nbrp
         r2_nbr = jnp.sum(d_nbr * d_nbr, axis=1)           # [K, nmax, *bs]
+        if s2 is not None:
+            r2_nbr = s2 * r2_nbr
         e_n, ov_n = pair_interaction(pot, r2_nbr, nbr_valid)
 
         e = jnp.sum(e_o, axis=0) + jnp.sum(e_n, axis=(0, 1))
@@ -209,6 +225,7 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
              shard_id: jax.Array | None = None,
              substep_fn=None,
              shift_rebin_fn=None,
+             scale: jax.Array | None = None,
              ) -> tuple[SimState, SweepMetrics]:
     """One full MC sweep: shuffled colors x sub-sweeps, then a random grid shift.
 
@@ -232,8 +249,13 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
         shift_rebin_fn = cells.shift_rebin
 
     def substep_branch(color: int, pos, occ, k):
-        own_new, de, na, np_ = substep_fn(cfg, pot, color, pos, occ, k,
-                                          shift_fn, beta, block_offset)
+        if scale is None:
+            own_new, de, na, np_ = substep_fn(cfg, pot, color, pos, occ, k,
+                                              shift_fn, beta, block_offset)
+        else:
+            own_new, de, na, np_ = substep_fn(cfg, pot, color, pos, occ, k,
+                                              shift_fn, beta, block_offset,
+                                              scale)
         return pos.at[color].set(own_new), de, na, np_
 
     branches = [partial(substep_branch, c) for c in range(n_colors)]
@@ -315,18 +337,21 @@ def run_sweeps_record(cfg: SimConfig, pot: Potential, state: SimState,
     return state, frames, metrics
 
 
-def total_energy_cells(cfg: SimConfig, pot: Potential, pos: jax.Array,
-                       occ: jax.Array,
-                       shift_fn: ShiftFn = roll_shift_fn) -> jax.Array:
-    """Total energy via cell lists: E = 1/2 sum_i sum_{j in ring(i), j != i} e_ij.
+def total_interaction_cells(cfg: SimConfig, pot: Potential, pos: jax.Array,
+                            occ: jax.Array,
+                            shift_fn: ShiftFn = roll_shift_fn,
+                            scale: jax.Array | None = None
+                            ) -> tuple[jax.Array, jax.Array]:
+    """(total energy, any hard-core overlap) via cell lists.
 
-    The on-device anchor for the dE-accumulated energy trace (the reference
-    anchors once on the host at sweep 0, kernel.cu:642; we can re-anchor
-    periodically — SURVEY.md Q9).
+    E = 1/2 sum_i sum_{j in ring(i), j != i} e_ij. ``scale`` applies the NPT
+    stored-frame convention (physical r^2 = scale^2 stored r^2).
     """
     nmax = cfg.nmax
     dim = cfg.dim
+    s2 = None if scale is None else scale * scale
     total = jnp.float32(0.0)
+    any_ov = jnp.zeros((), jnp.bool_)
     for color in range(cfg.n_colors):
         own = pos[color]                                   # [dim, nmax, *bs]
         own_occ = occ[color]                               # [*bs]
@@ -336,18 +361,36 @@ def total_energy_cells(cfg: SimConfig, pot: Potential, pos: jax.Array,
         # intra-cell pairs: [nmax_i, nmax_j, *bs]
         d = min_image(own[:, :, None] - own[:, None, :], cfg.box_length)
         r2 = jnp.sum(d * d, axis=0)
+        if s2 is not None:
+            r2 = s2 * r2
         vv = (valid_i[:, None] & valid_i[None, :]
               & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
                  ).reshape((nmax, nmax) + (1,) * len(bs)))
-        e, _ = pair_interaction(pot, r2, vv)
+        e, ov = pair_interaction(pot, r2, vv)
         total = total + 0.5 * jnp.sum(e)
+        any_ov = any_ov | jnp.any(ov)
         # cross-cell pairs: [K, nmax_i, nmax_j, *bs]
         nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn)
         valid_j = slot[None] < nbr_occ[:, None]            # [K, nmax, *bs]
         dx = min_image(own[None, :, :, None] - nbr_pos[:, :, None, :],
                        cfg.box_length)
         r2x = jnp.sum(dx * dx, axis=1)                     # [K, nmax, nmax, *bs]
+        if s2 is not None:
+            r2x = s2 * r2x
         vx = valid_i[None, :, None] & valid_j[:, None, :]
-        ex, _ = pair_interaction(pot, r2x, vx)
+        ex, ovx = pair_interaction(pot, r2x, vx)
         total = total + 0.5 * jnp.sum(ex)
-    return total
+        any_ov = any_ov | jnp.any(ovx)
+    return total, any_ov
+
+
+def total_energy_cells(cfg: SimConfig, pot: Potential, pos: jax.Array,
+                       occ: jax.Array,
+                       shift_fn: ShiftFn = roll_shift_fn) -> jax.Array:
+    """Total energy via cell lists: E = 1/2 sum_i sum_{j in ring(i), j != i} e_ij.
+
+    The on-device anchor for the dE-accumulated energy trace (the reference
+    anchors once on the host at sweep 0, kernel.cu:642; we can re-anchor
+    periodically — SURVEY.md Q9).
+    """
+    return total_interaction_cells(cfg, pot, pos, occ, shift_fn)[0]

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcjax.core.geometry import min_image
-from mcjax.models.potentials import HardSphere, LennardJones, Potential
+from mcjax.models.potentials import (HardSphere, LennardJones, Potential,
+                                     pair_interaction)
 
 
 def energy_trace(e0: jax.Array, delta_e: jax.Array) -> jax.Array:
@@ -394,6 +395,53 @@ def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
         im_sum = im_sum + jnp.sum(live * im_i / denom)
 
     return jnp.sqrt(re_sum**2 + im_sum**2) / jnp.maximum(n_tot, 1)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def widom_insertion(cfg, pot: Potential, pos: jax.Array, occ: jax.Array,
+                    key: jax.Array, n_test: int,
+                    beta: float | None = None) -> jax.Array:
+    """Widom test-particle insertion: mean Boltzmann factor <e^{-beta dU}>
+    over ``n_test`` ghost insertions (excess chemical potential
+    mu_ex = -ln<B>/beta; for hard models <B> is the insertion probability).
+
+    Cell-list lookup per test point (O(n_test x 3^dim x nmax)), so it runs
+    at production N where an O(n_test x N) pass would not. The reference has
+    no free-energy observables at all; this extends SURVEY.md §5's metrics
+    row beyond parity.
+    """
+    from mcjax.ops import cells as _cells
+
+    dim, nmax, cps = cfg.dim, cfg.nmax, cfg.cells_per_side
+    if beta is None:
+        beta = cfg.beta
+    L = cfg.box_length
+    pts = jax.random.uniform(key, (n_test, dim), minval=-L / 2.0,
+                             maxval=L / 2.0)
+
+    # flat slab view matching cells._flat_slot's (color, block) layout
+    n_cells = cfg.n_colors * cfg.cells_per_color
+    flat_pos = jnp.moveaxis(pos.reshape(cfg.n_colors, dim, nmax, -1),
+                            -1, 1).reshape(n_cells, dim, nmax)
+    flat_occ = occ.reshape(-1)
+
+    c = _cells.cell_coords(cfg, pts)                      # [T, dim]
+    offs = jnp.asarray(_cells.neighbor_offsets(dim, include_center=True),
+                       jnp.int32)                         # [K, dim]
+    nbr_c = jnp.mod(c[:, None, :] + offs[None], cps)      # [T, K, dim]
+    slot = _cells._flat_slot(cfg, nbr_c)                  # [T, K]
+
+    slabs = flat_pos[slot]                                # [T, K, dim, nmax]
+    counts = flat_occ[slot]                               # [T, K]
+    d = min_image(pts[:, None, :, None] - slabs, L)
+    r2 = jnp.sum(d * d, axis=2)                           # [T, K, nmax]
+    valid = jnp.arange(nmax)[None, None, :] < counts[:, :, None]
+    e, ov = pair_interaction(pot, r2, valid)
+    du = jnp.sum(e, axis=(1, 2))                          # [T]
+    overlap = jnp.any(ov, axis=(1, 2))
+    b = jnp.where(overlap, 0.0, jnp.exp(-beta * du) if pot.has_energy
+                  else 1.0)
+    return jnp.mean(b)
 
 
 def henderson_z_disks(phi: float) -> float:

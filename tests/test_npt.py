@@ -1,0 +1,80 @@
+"""NPT ensemble tests: exact ideal-gas law, stored-frame scale plumbing,
+hard-disk EOS consistency."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.potentials import HardSphere, LennardJones
+from mcjax.ops import npt
+from mcjax.ops.sweep import color_substep, run_sweeps
+
+
+def test_scale_one_is_bitwise_nvt():
+    # scale=1.0 must reproduce the NVT substep bit for bit
+    cfg = SimConfig(dim=2, n_atoms=48, box_length=12.0, cells_per_side=6,
+                    nmax=6, n_moves=3, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg, seed=4)
+    k = jax.random.key(9)
+    a = color_substep(cfg, hs, 0, st.pos, st.occ, k)
+    b = color_substep(cfg, hs, 0, st.pos, st.occ, k, scale=jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_npt_ideal_gas_equation_of_state():
+    # epsilon=0 LJ = ideal gas: <V> = (N+1)/(beta P) exactly (ln-V sampling)
+    cfg = SimConfig(dim=3, n_atoms=64, box_length=20.0, cells_per_side=4,
+                    nmax=10, n_moves=2, proposal="gaussian", step_size=0.5,
+                    beta=1.0)
+    pot = LennardJones(epsilon=0.0)
+    st = npt.init_npt(init_state(cfg))
+    p = (cfg.n_atoms + 1) / cfg.box_length**3  # target <V> = V0
+    st, m = npt.run_npt(cfg, pot, st, p, 300, 0.1)   # equilibrate
+    st, m = npt.run_npt(cfg, pot, st, p, 1500, 0.1)
+    v_mean = float(jnp.mean(m.volume))
+    v_exact = (cfg.n_atoms + 1) / p
+    assert abs(v_mean - v_exact) / v_exact < 0.05, (v_mean, v_exact)
+    assert 0.2 < float(jnp.mean(m.vol_accepted)) <= 1.0
+
+
+@pytest.mark.slow
+def test_npt_hard_disks_density_matches_henderson():
+    # at beta P = rho Z_H(phi*) the NPT density must settle near phi*
+    phi_t = 0.4
+    n = 256
+    box = math.sqrt(n * math.pi / 4 / phi_t)
+    cps = int(box // 2.0) - int(box // 2.0) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=4, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    z = (1 + phi_t**2 / 8) / (1 - phi_t) ** 2   # Henderson
+    rho = n / box**2
+    p = rho * z
+    st = npt.init_npt(init_state(cfg))
+    st, _ = npt.run_npt(cfg, hs, st, p, 500, 0.02)
+    st, m = npt.run_npt(cfg, hs, st, p, 1500, 0.02)
+    phi_mean = n * math.pi / 4 / float(jnp.mean(m.volume))
+    assert abs(phi_mean - phi_t) / phi_t < 0.06, phi_mean
+
+
+def test_npt_volume_moves_conserve_particles_and_cells():
+    cfg = SimConfig(dim=2, n_atoms=64, box_length=16.0, cells_per_side=8,
+                    nmax=6, n_moves=2, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st0 = npt.init_npt(init_state(cfg))
+    st, m = npt.run_npt(cfg, hs, st0, 0.5, 50, 0.05)
+    assert int(jnp.sum(st.sim.occ)) == cfg.n_atoms
+    assert not bool(st.sim.overflow)
+    # scale actually moved (volume moves are live)
+    assert float(jnp.abs(st.log_scale)) > 0
+    # physical cell width never dipped below the cutoff
+    assert float(jnp.min(jnp.exp(st.log_scale))) * cfg.cell_width >= 1.0

@@ -97,6 +97,40 @@ def test_cell_observable_coverage_guards():
         observables.contact_shell_gr_cells(cfg, st.pos, st.occ, 1.0, 8, 0.3)
 
 
+def test_widom_insertion_brute_force_parity_and_dilute_limit():
+    # (a) the cell-list Widom factor must equal a direct O(N x T) pass
+    cfg = SimConfig(dim=3, n_atoms=64, box_length=10.0, cells_per_side=4,
+                    nmax=10, n_moves=4)
+    lj = LennardJones()
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, lj, st, 5)
+    key = jax.random.key(11)
+    b_cells = float(observables.widom_insertion(cfg, lj, st.pos, st.occ,
+                                                key, 256))
+    L = cfg.box_length
+    pts = jax.random.uniform(key, (256, 3), minval=-L / 2, maxval=L / 2)
+    r = cells.unbin(cfg, st.pos, st.occ)
+    from mcjax.core.geometry import min_image as mi
+    d = mi(pts[:, None, :] - r[None, :, :], L)
+    du = jnp.sum(lj.pair_energy(jnp.sum(d * d, -1)), axis=1)
+    b_ref = float(jnp.mean(jnp.exp(-cfg.beta * du)))
+    np.testing.assert_allclose(b_cells, b_ref, rtol=1e-5)
+
+    # (b) dilute hard disks: insertion probability ~ exp(-4 phi)
+    n, phi = 200, 0.05
+    Lh = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(Lh // 1.25) - int(Lh // 1.25) % 2
+    cfgh = SimConfig(dim=2, n_atoms=n, box_length=Lh, cells_per_side=cps,
+                     nmax=8, n_moves=4, proposal="uniform", step_size=0.3,
+                     beta=1.0)
+    hs = HardSphere(1.0)
+    sth = init_state(cfgh)
+    sth, _ = run_sweeps(cfgh, hs, sth, 100)
+    p_ins = float(observables.widom_insertion(cfgh, hs, sth.pos, sth.occ,
+                                              jax.random.key(5), 4096))
+    assert abs(p_ins - math.exp(-4 * phi)) < 0.03, p_ins
+
+
 def test_energy_trace_shape():
     t = observables.energy_trace(jnp.float32(-3.0), jnp.ones(5))
     np.testing.assert_allclose(np.asarray(t), [-2, -1, 0, 1, 2])
