@@ -157,7 +157,11 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                     proposal="gaussian", step_size=0.12, beta=0.3, seed=0)
     pot = LennardJones(r_cut=2.5)
     cfg.validate_against(pot.r_cut)
-    state = init_state(cfg)
+    # Stratified init bounds t=0 occupancy at ceil(N/cells) (the cubic
+    # lattice aliases against the cell grid, peaking ~2x the equilibrium
+    # mean), so nmax can be sized for the fluid, not the transient.
+    from mcjax.ops.cells import stratified_positions
+    state = init_state(cfg, positions=stratified_positions(cfg))
 
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
                               False, pallas_shift, neighbor_unroll)
@@ -193,8 +197,9 @@ def main() -> None:
     ap.add_argument("--wfac", type=float, default=2.0)
     ap.add_argument("--nmax", type=int, default=None,
                     help="slab capacity (default: 7 for hard-disk — soaked "
-                         "1k sweeps overflow-free at phi=0.5 — and 30 for "
-                         "lj3d at rho=0.8)")
+                         "1k sweeps overflow-free at phi=0.5 — and 24 for "
+                         "lj3d: the beta=0.3 fluid is hot, equilibrium "
+                         "occupancy 13.5 with tails past 20)")
     ap.add_argument("--moves", type=int, default=64)
     ap.add_argument("--sweeps", type=int, default=100,
                     help="timed scan length (>=100 keeps the ~30 ms tunnel "
@@ -217,7 +222,7 @@ def main() -> None:
     if args.workload == "lj3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_lj3d(n, min(args.sweeps, 30), args.moves if args.moves != 64
-                   else 15, args.nmax or 30,
+                   else 15, args.nmax or 24,
                    args.tile_rows, args.neighbor_unroll, args.pallas_shift)
         return
     if args.nmax is None:

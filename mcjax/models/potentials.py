@@ -44,6 +44,20 @@ def _safe_inv(r2: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / jnp.maximum(r2, 1e-12)
 
 
+def _pl_safe_inv(r2: jnp.ndarray) -> jnp.ndarray:
+    """Guarded reciprocal for Pallas TPU kernels: the VPU's approximate
+    reciprocal + two Newton refinements (error ~(rel0)^4, i.e. f32-exact),
+    ~5 one-cycle vector ops where an exact divide serializes for tens of
+    cycles per pair slot — the divide was the single largest cost in the
+    3D LJ sub-sweep kernel (2 divides per pair slot)."""
+    from jax.experimental import pallas as pl
+
+    r2s = jnp.maximum(r2, 1e-12)
+    x = pl.reciprocal(r2s, approx=True)
+    x = x * (2.0 - r2s * x)
+    return x * (2.0 - r2s * x)
+
+
 @dataclasses.dataclass(frozen=True)
 class LennardJones:
     """Truncated LJ 12-6: 4 eps ((s/r)^12 - (s/r)^6) for r <= r_cut.
@@ -61,7 +75,14 @@ class LennardJones:
     has_hard_core: bool = dataclasses.field(default=False, init=False)
 
     def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
-        inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
+        return self._energy(r2, _safe_inv)
+
+    def pair_energy_pl(self, r2: jnp.ndarray) -> jnp.ndarray:
+        """Pallas-kernel variant (Newton-refined approximate reciprocal)."""
+        return self._energy(r2, _pl_safe_inv)
+
+    def _energy(self, r2, inv_fn):
+        inv2 = (self.sigma * self.sigma) * inv_fn(r2)
         inv6 = inv2 * inv2 * inv2
         e = 4.0 * self.epsilon * (inv6 * inv6 - inv6)
         if self.shift:
@@ -108,8 +129,24 @@ class SoftSphere:
     has_hard_core: bool = dataclasses.field(default=False, init=False)
 
     def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
-        inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
-        e = self.epsilon * inv2 ** (self.exponent / 2.0)
+        return self._energy(r2, _safe_inv)
+
+    def pair_energy_pl(self, r2: jnp.ndarray) -> jnp.ndarray:
+        """Pallas-kernel variant (Newton-refined approximate reciprocal)."""
+        return self._energy(r2, _pl_safe_inv)
+
+    def _energy(self, r2, inv_fn):
+        inv2 = (self.sigma * self.sigma) * inv_fn(r2)
+        if self.exponent % 2 == 0:
+            # pow-by-squaring: keeps the hot path on 1-cycle vector muls
+            p, base, acc = self.exponent // 2, inv2, None
+            while p:
+                if p & 1:
+                    acc = base if acc is None else acc * base
+                base, p = base * base, p >> 1
+            e = self.epsilon * acc
+        else:
+            e = self.epsilon * inv2 ** (self.exponent / 2.0)
         return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)
 
     def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
@@ -130,7 +167,14 @@ class WCA:
         return 2.0 ** (1.0 / 6.0) * self.sigma
 
     def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
-        inv2 = (self.sigma * self.sigma) * _safe_inv(r2)
+        return self._energy(r2, _safe_inv)
+
+    def pair_energy_pl(self, r2: jnp.ndarray) -> jnp.ndarray:
+        """Pallas-kernel variant (Newton-refined approximate reciprocal)."""
+        return self._energy(r2, _pl_safe_inv)
+
+    def _energy(self, r2, inv_fn):
+        inv2 = (self.sigma * self.sigma) * inv_fn(r2)
         inv6 = inv2 * inv2 * inv2
         e = 4.0 * self.epsilon * (inv6 * inv6 - inv6) + self.epsilon
         return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)

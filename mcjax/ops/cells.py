@@ -112,6 +112,50 @@ def lattice_positions(cfg: SimConfig) -> jax.Array:
     return jnp.asarray(np.stack(coords, axis=-1), jnp.float32)
 
 
+def stratified_positions(cfg: SimConfig) -> jax.Array:
+    """Cell-stratified initial configuration: every cell gets
+    floor(N/cells) or ceil(N/cells) atoms, placed on a small sub-grid
+    inside the cell.
+
+    The reference's cubic lattice (init_r, kernel.cu:78-89) aliases against
+    the cell grid — a cell can cover ceil(w/a)^dim lattice planes, giving
+    t=0 occupancies up to ~2x the equilibrium mean and forcing nmax (and
+    with it the kernel's pair-slot count) to be sized for a transient.
+    Stratified placement bounds occupancy at ceil(N/cells) from sweep 0,
+    so nmax can track the *equilibrium* occupancy: at rho=0.8 3D LJ this
+    cuts nmax 30 -> 20 (a 1.5x kernel-throughput lever). Nearest cross-cell
+    spacing is w/m (m = sub-grid side), finite LJ energy; the dE-anchored
+    energy trace is exact from any valid configuration.
+
+    The ceil-count cells are spread evenly through the (row-major) cell
+    order so there is no density gradient across the box.
+    """
+    dim, n = cfg.dim, cfg.n_atoms
+    cps = cfg.cells_per_side
+    n_cells = cps ** dim
+    w = cfg.cell_width
+    base, rem = divmod(n, n_cells)
+    if base + (1 if rem else 0) > cfg.nmax:
+        raise ValueError(f"stratified init needs nmax >= ceil(N/cells) = "
+                         f"{base + (1 if rem else 0)}, got {cfg.nmax}")
+    counts = np.full((n_cells,), base, np.int32)
+    if rem:
+        counts[np.round(np.linspace(0, n_cells - 1, rem)).astype(int)] += 1
+    m = int(np.ceil((base + (1 if rem else 0)) ** (1.0 / dim) - 1e-9))
+    m = max(m, 1)
+    # first `count` points of the per-cell m^dim raster, centered in sub-cells
+    sub = np.stack(np.meshgrid(*([np.arange(m)] * dim), indexing="ij"),
+                   axis=-1).reshape(-1, dim)  # [m^dim, dim]
+    cell_idx = np.repeat(np.arange(n_cells), counts)
+    slot_in_cell = np.arange(n) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    cid = np.stack([(cell_idx // cps**k) % cps
+                    for k in range(dim - 1, -1, -1)], axis=-1)  # [N, dim]
+    pos = (cid * w - cfg.box_length / 2.0
+           + (sub[slot_in_cell] + 0.5) * (w / m))
+    return jnp.asarray(pos, jnp.float32)
+
+
 def triangular_rows(n_atoms: int, box_length: float,
                     diameter: float = 1.0) -> tuple[int, int]:
     """Pick (nx, ny) for a near-unstrained triangular lattice of ``n_atoms``
@@ -297,6 +341,73 @@ def neighbor_stack(cfg: SimConfig, pos: jax.Array, occ: jax.Array, color: int,
         ps.append(nb)
         os_.append(shift_fn(occ[src_color], shifts))
     return jnp.stack(ps, axis=0), jnp.stack(os_, axis=0)
+
+
+def _flat_wrap_masks_np(block_shape: tuple[int, ...]) -> dict:
+    """Per-axis periodic-wrap masks on the row-major-flattened cell grid:
+    mask[(k, +1)][i] is True where flat cell i sits on the high edge of axis k
+    (its +1 neighbor wraps), mask[(k, -1)] the low edge. Host numpy — baked
+    into the jaxpr as constants (~P bytes each)."""
+    dim = len(block_shape)
+    idx = np.indices(block_shape)
+    masks = {}
+    for k in range(dim):
+        masks[(k, 1)] = (idx[k] == block_shape[k] - 1).reshape(-1)
+        masks[(k, -1)] = (idx[k] == 0).reshape(-1)
+    return masks
+
+
+def _flat_lower_bounds_np(cfg: SimConfig, color: int) -> np.ndarray:
+    """_cell_lower_bounds on the flattened cell grid, as a host constant
+    [dim, P] (the flat sub-sweep path's per-cell lower corners)."""
+    o = color_bits(color, cfg.dim)
+    idx = np.indices(cfg.block_shape)                       # [dim, *bs]
+    ck = 2 * idx + np.asarray(o).reshape((cfg.dim,) + (1,) * cfg.dim)
+    lb = ck.astype(np.float32) * cfg.cell_width - cfg.box_length / 2.0
+    return lb.reshape(cfg.dim, -1)
+
+
+def flat_neighbor_stack(cfg: SimConfig, fpos: jax.Array, focc: jax.Array,
+                        color: int) -> tuple[jax.Array, jax.Array]:
+    """``neighbor_stack(unwrap=True)`` on the row-major-FLATTENED cell grid.
+
+    Same values as the packed builder, but every operation runs at full lane
+    occupancy: a block shift of +-1 along grid axis k becomes a flat roll by
+    the axis stride, with the periodic wrap (and its +-L coordinate unwrap)
+    patched in by a select on the precomputed edge mask. On lane-padded grids
+    (3D: trailing dim ~21 is physically padded to 128 lanes) the packed
+    builder + its to-tiles relayout cost ~6.4 ms per color substep at 1M
+    atoms — ~85% of total 3D sweep time; this builder is ~10x cheaper.
+
+    fpos: [n_colors, dim, nmax, P], focc: [n_colors, P] with
+    P = cells_per_color flattened row-major over the block axes.
+    Single-chip only (callers shard via the packed halo path).
+    """
+    dim, box = cfg.dim, cfg.box_length
+    bs = cfg.block_shape
+    strides = [int(np.prod(bs[k + 1:], dtype=np.int64)) for k in range(dim)]
+    masks_np = _flat_wrap_masks_np(bs)
+    masks = {key: jnp.asarray(m) for key, m in masks_np.items()}
+    ps, os_ = [], []
+    for src_color, shifts in neighbor_plan(dim, color):
+        nb = fpos[src_color]                               # [dim, nmax, P]
+        no = focc[src_color]                               # [P]
+        for k in range(dim):
+            s = shifts[k]
+            if not s:
+                continue
+            S, g = strides[k], bs[k]
+            m = masks[(k, s)]
+            nb_wrap = jnp.roll(nb, s * (g - 1) * S, axis=-1)
+            # neighbor read crossed the box edge along k: pre-unwrap its
+            # k-coordinate planes by +-L (mirrors neighbor_stack's edge adj)
+            nb_wrap = nb_wrap.at[k].add(jnp.float32(s * box))
+            nb = jnp.where(m, nb_wrap, jnp.roll(nb, -s * S, axis=-1))
+            no = jnp.where(m, jnp.roll(no, s * (g - 1) * S),
+                           jnp.roll(no, -s * S))
+        ps.append(nb)
+        os_.append(no)
+    return jnp.stack(ps), jnp.stack(os_)
 
 
 # ---------------------------------------------------------------------------

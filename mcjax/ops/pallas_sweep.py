@@ -70,6 +70,18 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     # full static unroll when asked (neighbor_unroll >= n_k): slower Mosaic
     # compile, but every plane index becomes static
     unroll_neighbors = n_k <= 8 or neighbor_unroll >= n_k
+    # Split the per-slot reductions across independent accumulators so the
+    # VPU's VLIW slots can overlap slots: a single running e_old/e_new chain
+    # serializes one add per pair slot (measured ~0.35 vreg-ops/cycle on the
+    # 3D LJ kernel vs ~1.0 for 2D hard disks). dE is accumulated directly
+    # (e_new - e_old per slot) — one chain's worth of adds instead of two;
+    # for hard-core models the overlap OR-reduction is reassociation-exact,
+    # so the bitwise XLA gate is unaffected.
+    n_lanes_acc = 8
+    # Kernel-optimized pair energy where the model provides one (LJ family:
+    # Newton-refined approximate reciprocal instead of a serializing exact
+    # divide — 2 divides/slot were the largest single cost of the LJ kernel).
+    pair_fn = getattr(pot, "pair_energy_pl", pot.pair_energy)
 
     def kernel(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
                pick_ref, disp_ref, accu_ref, beta_ref,
@@ -102,14 +114,18 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 oob = oob | (new[d] < lb) | (new[d] >= lb + w)
 
             zero = jnp.zeros_like(old[0])
-            e_old = zero
-            e_new = zero
-            ov_new = jnp.zeros_like(nonempty)
+            A = n_lanes_acc
+            de_parts = (zero,) * A if energetic else ()
+            # Mosaic's scf.for fails to legalize pure-i1 vector carries, so
+            # the fori path accumulates overlap as int32 (0/1) instead of bool
+            ov_dtype = jnp.bool_ if unroll_neighbors else jnp.int32
+            ov_parts = ((jnp.zeros(occ.shape, ov_dtype),) * A if hard else ())
 
             # No minimum-image arithmetic: neighbor planes are pre-unwrapped
             # across the periodic boundary (cells.neighbor_stack) and own-cell
             # pairs share a cell, so raw differences are already minimal.
-            def accumulate(xs_old, xs_new, valid, e_old, e_new, ov_new):
+            def accumulate(slot, xs_old, xs_new, valid, de_parts, ov_parts):
+                a = slot % A
                 r2n = zero
                 for d in range(dim):
                     r2n = r2n + xs_new[d] * xs_new[d]
@@ -117,15 +133,20 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     r2o = zero
                     for d in range(dim):
                         r2o = r2o + xs_old[d] * xs_old[d]
-                    e_old = e_old + jnp.where(valid, pot.pair_energy(r2o), 0.0)
-                    e_new = e_new + jnp.where(valid, pot.pair_energy(r2n), 0.0)
+                    term = pair_fn(r2n) - pair_fn(r2o)
+                    de_parts = (de_parts[:a]
+                                + (de_parts[a] + jnp.where(valid, term, 0.0),)
+                                + de_parts[a + 1:])
                 if hard:
-                    ov_new = ov_new | (valid & pot.overlap(r2n))
-                return e_old, e_new, ov_new
+                    term_ov = (valid & pot.overlap(r2n)).astype(ov_dtype)
+                    ov_parts = (ov_parts[:a]
+                                + (ov_parts[a] | term_ov,)
+                                + ov_parts[a + 1:])
+                return de_parts, ov_parts
 
             # neighbor-cell pairs (frozen during the sub-sweep); plane order
             # matches the native neighbor_stack layout [K, dim, nmax, ...]
-            def nbr_cell_pairs(k, e_old, e_new, ov_new):
+            def nbr_cell_pairs(k, de_parts, ov_parts):
                 nocc = nbrocc_ref[k]
                 for j in range(nmax):
                     valid = j < nocc
@@ -134,29 +155,33 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                         nb = nbr_ref[(k * dim + d) * nmax + j]
                         xs_old.append(old[d] - nb)
                         xs_new.append(new[d] - nb)
-                    e_old, e_new, ov_new = accumulate(
-                        xs_old, xs_new, valid, e_old, e_new, ov_new)
-                return e_old, e_new, ov_new
+                    de_parts, ov_parts = accumulate(
+                        j, xs_old, xs_new, valid, de_parts, ov_parts)
+                return de_parts, ov_parts
 
             if unroll_neighbors:
                 for k in range(n_k):
-                    e_old, e_new, ov_new = nbr_cell_pairs(k, e_old, e_new,
-                                                          ov_new)
+                    de_parts, ov_parts = nbr_cell_pairs(k, de_parts, ov_parts)
             else:
                 # manual partial unroll (Mosaic's fori_loop only lowers
                 # unroll=1 or full): u bodies per iteration + static tail
                 u = max(1, min(neighbor_unroll, n_k))
 
-                def k_block(b, c):
-                    for uu in range(u):
-                        c = nbr_cell_pairs(b * u + uu, *c)
-                    return c
+                n_de = len(de_parts)
 
-                e_old, e_new, ov_new = jax.lax.fori_loop(
-                    0, n_k // u, k_block, (e_old, e_new, ov_new))
+                def k_block(b, c):
+                    dp, op = c[:n_de], c[n_de:]
+                    for uu in range(u):
+                        dp, op = nbr_cell_pairs(b * u + uu, dp, op)
+                    return dp + op
+
+                # flat carry: an empty sub-tuple (pure hard-core models have
+                # no de accumulators) fails Mosaic's scf.for legalization
+                flat = jax.lax.fori_loop(0, n_k // u, k_block,
+                                         de_parts + ov_parts)
+                de_parts, ov_parts = flat[:n_de], flat[n_de:]
                 for k in range((n_k // u) * u, n_k):
-                    e_old, e_new, ov_new = nbr_cell_pairs(k, e_old, e_new,
-                                                          ov_new)
+                    de_parts, ov_parts = nbr_cell_pairs(k, de_parts, ov_parts)
 
             # own-cell pairs (excluding the moving particle)
             for j in range(nmax):
@@ -166,10 +191,21 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     nb = out_ref[d * nmax + j]
                     xs_old.append(old[d] - nb)
                     xs_new.append(new[d] - nb)
-                e_old, e_new, ov_new = accumulate(
-                    xs_old, xs_new, valid, e_old, e_new, ov_new)
+                de_parts, ov_parts = accumulate(
+                    j, xs_old, xs_new, valid, de_parts, ov_parts)
 
-            de = e_new - e_old
+            # pairwise tree-fold keeps the tail reduction parallel too
+            def tree_fold(parts, op):
+                parts = list(parts)
+                while len(parts) > 1:
+                    parts = [op(parts[i], parts[i + 1])
+                             if i + 1 < len(parts) else parts[i]
+                             for i in range(0, len(parts), 2)]
+                return parts[0]
+
+            de = tree_fold(de_parts, jnp.add) if energetic else zero
+            ov_new = (tree_fold(ov_parts, jnp.bitwise_or).astype(jnp.bool_)
+                      if hard else jnp.zeros_like(nonempty))
             accept = nonempty & jnp.logical_not(oob)
             if hard:
                 accept = accept & jnp.logical_not(ov_new)
@@ -215,19 +251,35 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     n_k = cfg.n_neighbors - 1
 
-    own = pos[color]                       # [dim, nmax, *bs] planes layout
     own_occ = occ[color]
     bs = own_occ.shape                     # shard-local block shape
     n_cells = math.prod(bs)
-    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
-                                            block_offset)
+    # On lane-padded grids (trailing block dim not a lane multiple — all 3D
+    # runs), build the neighbor planes in FLAT cell space: the packed builder
+    # + the flat-tiling relayout below cost ~6.4 ms per substep at 1M 3D
+    # cells (~85% of sweep time; XLA pads (21,21,21) to 128 lanes), while the
+    # flat builder's full-lane rolls + edge selects produce identical values
+    # ~10x cheaper. Sharded runs keep the packed halo path.
+    use_flat = (bs[-1] % 128 != 0 and block_offset is None
+                and shift_fn is roll_shift_fn)
+    if use_flat:
+        fpos = pos.reshape(cfg.n_colors, dim, nmax, n_cells)
+        focc = occ.reshape(cfg.n_colors, n_cells)
+        own = fpos[color]                  # [dim, nmax, P]
+        own_occ = focc[color]
+        nbr_pos, nbr_occ = cells.flat_neighbor_stack(cfg, fpos, focc, color)
+        lb = jnp.asarray(cells._flat_lower_bounds_np(cfg, color))
+    else:
+        own = pos[color]                   # [dim, nmax, *bs] planes layout
+        nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color,
+                                                shift_fn, block_offset)
+        lb = xla_sweep._cell_lower_bounds(cfg, color, bs, block_offset)
     # Generate the random tensors with a FLAT trailing cell axis: bitwise the
     # same values as the XLA engine's [*bs]-shaped draw (row-major reshape of
     # an identical stream), but at full lane occupancy — 3D block shapes like
     # (21, 21, 21) run XLA elementwise ops at ~16% of the lanes.
     pick_u, disp, acc_u = xla_sweep.substep_randoms(
         cfg, key, (n_cells,), need_acc=pot.has_energy)
-    lb = xla_sweep._cell_lower_bounds(cfg, color, bs, block_offset)
 
     # ---- flatten the cell grid into full-width lane tiles -----------------
     # Cells are independent within a color sub-sweep, so after neighbor

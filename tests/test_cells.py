@@ -82,6 +82,28 @@ def test_triangular_lattice_solid_branch():
         cells.triangular_rows(1048577, 1000.0)  # prime-ish N: no (nx, even ny)
 
 
+def test_stratified_positions_bound_occupancy():
+    # occupancy is exactly floor/ceil(N/cells) from sweep 0 — the property
+    # that lets nmax track the equilibrium fluid instead of the lattice
+    # transient (bench lj3d nmax 30 -> 20)
+    for cfg in (cfg3d(n_atoms=700, nmax=11),
+                cfg2d(n_atoms=100, nmax=7),
+                cfg3d(n_atoms=64, nmax=1)):
+        r = np.asarray(cells.stratified_positions(cfg))
+        assert r.shape == (cfg.n_atoms, cfg.dim)
+        assert (r >= -cfg.box_length / 2).all() and (r < cfg.box_length / 2).all()
+        assert len(np.unique(r.round(6), axis=0)) == cfg.n_atoms
+        pos, occ, overflow = cells.bin_particles(cfg, jnp.asarray(r))
+        assert not bool(overflow)
+        n_cells = cfg.cells_per_side ** cfg.dim
+        lo, hi = cfg.n_atoms // n_cells, -(-cfg.n_atoms // n_cells)
+        occ = np.asarray(occ)
+        assert occ.min() >= lo and occ.max() <= hi
+        assert occ.sum() == cfg.n_atoms
+    with pytest.raises(ValueError, match="nmax"):
+        cells.stratified_positions(cfg3d(n_atoms=700, nmax=10))
+
+
 # ---- binning ---------------------------------------------------------------
 
 def test_bin_unbin_roundtrip():
