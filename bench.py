@@ -200,7 +200,10 @@ def main() -> None:
                          "1k sweeps overflow-free at phi=0.5 — and 24 for "
                          "lj3d: the beta=0.3 fluid is hot, equilibrium "
                          "occupancy 13.5 with tails past 20)")
-    ap.add_argument("--moves", type=int, default=64)
+    ap.add_argument("--moves", type=int, default=None,
+                    help="trial moves per cell per sub-sweep (default: 64 "
+                         "for hard-disk, 60 for lj3d; lj3d at the "
+                         "reference-parity point n_M=15 runs ~4.6e7)")
     ap.add_argument("--sweeps", type=int, default=100,
                     help="timed scan length (>=100 keeps the ~30 ms tunnel "
                          "dispatch round-trip below 1% of the measurement)")
@@ -221,10 +224,12 @@ def main() -> None:
 
     if args.workload == "lj3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
-        bench_lj3d(n, min(args.sweeps, 30), args.moves if args.moves != 64
-                   else 15, args.nmax or 24,
+        bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
+                   args.nmax or 24,
                    args.tile_rows, args.neighbor_unroll, args.pallas_shift)
         return
+    if args.moves is None:
+        args.moves = 64
     if args.nmax is None:
         args.nmax = 7
 

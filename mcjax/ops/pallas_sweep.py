@@ -32,6 +32,7 @@ smooth potentials it evaluates old/new energies with the exact masked sums
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 
@@ -431,9 +432,28 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
         shift_rebin_fn = partial(pallas_shift_rebin, tile_rows=tile_rows,
                                  tile_cols=tile_cols, interpret=interpret)
 
+    # On lane-padded grids (3D), carry the state FLAT through the whole scan:
+    # the substep and grid shift already run in flat cell space (their
+    # reshapes become no-ops on flat input), so this removes the remaining
+    # per-substep pack<->flat relayouts and runs the per-color state update
+    # on the compact layout instead of the ~6x-padded one. Pack<->flat
+    # happens once per run_sweeps call.
+    flat_state = cfg.block_shape[-1] % 128 != 0 and not pallas_shift
+    pos_shape, occ_shape = state.pos.shape, state.occ.shape
+    if flat_state:
+        P = cfg.cells_per_color
+        state = dataclasses.replace(
+            state,
+            pos=state.pos.reshape(cfg.n_colors, cfg.dim, cfg.nmax, P),
+            occ=state.occ.reshape(cfg.n_colors, P))
+
     def body(st, _):
         st, m = xla_sweep.mc_sweep(cfg, pot, st, substep_fn=substep,
                                    shift_rebin_fn=shift_rebin_fn)
         return st, m
 
-    return jax.lax.scan(body, state, length=n_sweeps)
+    state, metrics = jax.lax.scan(body, state, length=n_sweeps)
+    if flat_state:
+        state = dataclasses.replace(state, pos=state.pos.reshape(pos_shape),
+                                    occ=state.occ.reshape(occ_shape))
+    return state, metrics

@@ -104,6 +104,38 @@ def test_stratified_positions_bound_occupancy():
         cells.stratified_positions(cfg3d(n_atoms=700, nmax=10))
 
 
+def test_flat_builders_match_packed():
+    # the flat-cell-space fast paths (3D lane-padding fix) must be bitwise
+    # twins of the packed builders: same neighbor values, same shift merges
+    packed_roll = lambda b, s: cells.roll_shift_fn(b, s)  # defeats flat guard
+    for cfg in (cfg3d(n_atoms=500, nmax=8, cells_per_side=6),
+                cfg2d(n_atoms=200, nmax=8, cells_per_side=8)):
+        st_pos, st_occ, _ = cells.bin_particles(
+            cfg, cells.stratified_positions(cfg))
+        P = cfg.cells_per_color
+        fpos = st_pos.reshape(cfg.n_colors, cfg.dim, cfg.nmax, P)
+        focc = st_occ.reshape(cfg.n_colors, P)
+        for color in range(cfg.n_colors):
+            np_, no_ = cells.neighbor_stack(cfg, st_pos, st_occ, color)
+            fp_, fo_ = cells.flat_neighbor_stack(cfg, fpos, focc, color)
+            K = cfg.n_neighbors - 1
+            assert np.array_equal(
+                np.asarray(np_).reshape(K, cfg.dim, cfg.nmax, P),
+                np.asarray(fp_))
+            assert np.array_equal(np.asarray(no_).reshape(K, P),
+                                  np.asarray(fo_))
+        for axis in range(cfg.dim):
+            for d in (0.31, -0.27):
+                p1, o1, v1 = cells._shift_rebin_axis(
+                    cfg, axis, st_pos, st_occ, jnp.float32(d),
+                    shift_fn=packed_roll)
+                p2, o2, v2 = cells._shift_rebin_axis_flat(
+                    cfg, axis, st_pos, st_occ, jnp.float32(d))
+                assert np.array_equal(np.asarray(p1), np.asarray(p2))
+                assert np.array_equal(np.asarray(o1), np.asarray(o2))
+                assert bool(v1) == bool(v2)
+
+
 # ---- binning ---------------------------------------------------------------
 
 def test_bin_unbin_roundtrip():
