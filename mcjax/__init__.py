@@ -21,7 +21,8 @@ re-designed TPU-first:
 
 from mcjax.core.config import SimConfig
 from mcjax.core.state import SimState, init_state
-from mcjax.models.potentials import HardSphere, LennardJones, SoftSphere, WCA
+from mcjax.models.potentials import (HardSphere, LennardJones, SoftSphere,
+                                     SquareWell, WCA, Yukawa)
 
 __version__ = "0.1.0"
 
@@ -31,6 +32,8 @@ __all__ = [
     "init_state",
     "LennardJones",
     "HardSphere",
+    "SquareWell",
+    "Yukawa",
     "SoftSphere",
     "WCA",
 ]

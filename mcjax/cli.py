@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
                                 description="TPU-native parallel Monte Carlo")
     p.add_argument("--preset", choices=["reference-lj", "hard-disk-64k"],
                    help="canned configurations")
-    p.add_argument("--model", choices=["lj", "hard", "wca", "soft"],
+    p.add_argument("--model", choices=["lj", "hard", "wca", "soft",
+                                       "squarewell", "yukawa"],
                    default=None,
                    help="pair model (default lj; on --resume the model comes "
                         "from the checkpoint and --model must agree)")
@@ -82,11 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def potential_from_args(args):
     from mcjax.models.potentials import (HardSphere, LennardJones, SoftSphere,
-                                         WCA)
+                                         SquareWell, WCA, Yukawa)
     return {"lj": LennardJones(r_cut=2.5),
             "hard": HardSphere(1.0),
             "wca": WCA(),
-            "soft": SoftSphere()}[args.model or "lj"]
+            "soft": SoftSphere(),
+            "squarewell": SquareWell(),
+            "yukawa": Yukawa()}[args.model or "lj"]
 
 
 def config_from_args(args) -> tuple["SimConfig", "Potential"]:
@@ -124,6 +127,10 @@ def config_from_args(args) -> tuple["SimConfig", "Potential"]:
             r_cut = 1.0
         elif args.model == "wca":
             r_cut = 2 ** (1 / 6)
+        elif args.model == "squarewell":
+            r_cut = 1.5
+        elif args.model == "yukawa":
+            r_cut = 3.0
         else:
             r_cut = 2.5
         cps = args.cells_per_side

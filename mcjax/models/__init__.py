@@ -3,7 +3,9 @@ from mcjax.models.potentials import (
     LennardJones,
     Potential,
     SoftSphere,
+    SquareWell,
     WCA,
+    Yukawa,
     pair_interaction,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "HardSphere",
     "SoftSphere",
     "WCA",
+    "SquareWell",
+    "Yukawa",
     "pair_interaction",
 ]

@@ -183,6 +183,62 @@ class WCA:
         return jnp.zeros(r2.shape, jnp.bool_)
 
 
+@dataclasses.dataclass(frozen=True)
+class SquareWell:
+    """Hard core at ``diameter`` with an attractive well of depth ``epsilon``
+    out to ``lam * diameter`` (the classic adhesive-fluid model).
+
+    Exercises the combined accept path (hard-core rejection AND Metropolis on
+    a finite dE) in both engines — the reference supports neither piece
+    (its model is smooth LJ only, kernel.cu:335-346). Energies inside the
+    core region are never sampled (overlap rejects first), so pair_energy may
+    return -epsilon there without affecting the chain.
+    """
+
+    epsilon: float = 1.0
+    diameter: float = 1.0
+    lam: float = 1.5
+    has_energy: bool = dataclasses.field(default=True, init=False)
+    has_hard_core: bool = dataclasses.field(default=True, init=False)
+
+    @property
+    def r_cut(self) -> float:
+        return self.lam * self.diameter
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(r2 <= self.r_cut * self.r_cut,
+                         jnp.float32(-self.epsilon), 0.0)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return r2 < self.diameter * self.diameter
+
+
+@dataclasses.dataclass(frozen=True)
+class Yukawa:
+    """Screened-Coulomb repulsion: eps * (sigma/r) * exp(-kappa (r - sigma)),
+    truncated at r_cut (charged colloids / dusty plasmas).
+
+    Smooth everywhere we sample (guarded at r -> 0 like the LJ family);
+    needs sqrt+exp per pair — still fully VPU-vectorized.
+    """
+
+    epsilon: float = 1.0
+    sigma: float = 1.0
+    kappa: float = 2.0
+    r_cut: float = 3.0
+    has_energy: bool = dataclasses.field(default=True, init=False)
+    has_hard_core: bool = dataclasses.field(default=False, init=False)
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        e = (self.epsilon * self.sigma / r
+             * jnp.exp(-self.kappa * (r - self.sigma)))
+        return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(r2.shape, jnp.bool_)
+
+
 _POTENTIAL_REGISTRY: dict[str, type] = {}
 
 
@@ -191,7 +247,7 @@ def _register(cls: type) -> type:
     return cls
 
 
-for _cls in (LennardJones, HardSphere, SoftSphere, WCA):
+for _cls in (LennardJones, HardSphere, SoftSphere, WCA, SquareWell, Yukawa):
     _register(_cls)
 
 

@@ -91,3 +91,39 @@ def test_wrap_into_box():
     out = wrap_into_box(x, L)
     assert jnp.all((out >= -5.0) & (out < 5.0))
     np.testing.assert_allclose(out, [-5.0, -5.0, -2.5, -2.5], atol=1e-6)
+
+
+def test_square_well_closed_form():
+    from mcjax.models.potentials import SquareWell
+    sw = SquareWell(epsilon=2.0, diameter=1.0, lam=1.5)
+    assert sw.r_cut == 1.5
+    assert sw.has_energy and sw.has_hard_core
+    # inside the well: -eps; beyond lam*d: 0; inside core: overlap
+    np.testing.assert_allclose(sw.pair_energy(jnp.array([1.2 ** 2])), [-2.0])
+    assert float(sw.pair_energy(jnp.array([1.51 ** 2]))[0]) == 0.0
+    assert bool(sw.overlap(jnp.array([0.98 ** 2]))[0])
+    assert not bool(sw.overlap(jnp.array([1.02 ** 2]))[0])
+
+
+def test_yukawa_closed_form():
+    from mcjax.models.potentials import Yukawa
+    yk = Yukawa(epsilon=1.5, sigma=1.0, kappa=2.0, r_cut=3.0)
+    # at contact r = sigma: e = eps
+    np.testing.assert_allclose(yk.pair_energy(jnp.array([1.0])), [1.5],
+                               rtol=1e-6)
+    # screening: e(2 sigma) = eps/2 * exp(-kappa)
+    np.testing.assert_allclose(yk.pair_energy(jnp.array([4.0])),
+                               [1.5 / 2 * np.exp(-2.0)], rtol=1e-5)
+    assert float(yk.pair_energy(jnp.array([3.1 ** 2]))[0]) == 0.0
+    assert not bool(yk.overlap(jnp.array([0.01]))[0])
+    # masked-garbage guard: finite at r2 = 0
+    assert np.isfinite(float(yk.pair_energy(jnp.array([0.0]))[0]))
+
+
+def test_new_potentials_serialize_roundtrip():
+    from mcjax.models.potentials import (SquareWell, Yukawa,
+                                         potential_from_dict,
+                                         potential_to_dict)
+    for pot in (SquareWell(epsilon=0.7, diameter=1.1, lam=1.4),
+                Yukawa(epsilon=2.0, sigma=0.9, kappa=3.0, r_cut=2.7)):
+        assert potential_from_dict(potential_to_dict(pot)) == pot

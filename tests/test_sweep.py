@@ -170,3 +170,28 @@ def test_run_sweeps_record_trajectory():
     buf = _io.StringIO()
     mio.write_lammps_dump(buf, np.asarray(frames), cfg.box_length)
     assert buf.getvalue().count("ITEM: TIMESTEP") == 4
+
+
+def test_square_well_anchor_and_invariants():
+    """Combined hard-core + energetic accept path (SquareWell): the
+    dE-accumulated trace must track the exact energy AND the chain must
+    never create core overlaps — neither piece exists in the reference
+    (smooth LJ only, kernel.cu:335-346)."""
+    from mcjax.models.potentials import SquareWell
+
+    sw = SquareWell(epsilon=1.0, diameter=1.0, lam=1.5)
+    # cell width 10/4 = 2.5 >= r_cut = 1.5
+    cfg = lj_cfg(n_atoms=80, nmax=12, step_size=0.3, beta=0.8)
+    st = init_state(cfg)
+    e0, ov0 = total_energy(sw, cells.unbin(cfg, st.pos, st.occ),
+                           cfg.box_length)
+    assert not bool(ov0)
+    st2, m = run_sweeps(cfg, sw, st, 30)
+    e_traced = float(e0) + float(jnp.sum(m.delta_e))
+    e_exact, ov = total_energy(sw, cells.unbin(cfg, st2.pos, st2.occ),
+                               cfg.box_length)
+    assert not bool(ov), "sweep created a hard-core overlap"
+    # square-well dE is integer multiples of eps: trace must match closely
+    assert abs(e_traced - float(e_exact)) < 1e-3 * max(1.0, abs(float(e_exact)))
+    ratio = float(m.accepted.sum()) / float(m.proposed.sum())
+    assert 0.05 < ratio < 0.99
