@@ -1,0 +1,162 @@
+"""Multi-species pair models (binary and general S-species mixtures).
+
+The reference is strictly one-component (a single inlined LJ,
+kernel.cu:335-346). mcjax mixtures give every particle a species id and every
+species pair its own parameters — the workhorse being the Kob-Andersen 80:20
+binary LJ glass former (Kob & Andersen, PRE 51, 4626 (1995)).
+
+Mixture potentials evaluate on (r2, s_i, s_j) where the species operands are
+float planes carrying small integer ids (they ride through the cell-list
+transport machinery as an extra coordinate plane — see mcjax.ops.mixture).
+Evaluation is a masked sum over the S(S+1)/2 unordered species pairs: still
+branch-free, fully lane-vectorized VPU code.
+
+Param tables are nested tuples (hashable) so a mixture is a static jit arg
+like every other potential.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+def _sym(table):
+    """Validate a nested-tuple [S][S] table is square and symmetric."""
+    s = len(table)
+    for row in table:
+        if len(row) != s:
+            raise ValueError(f"species table must be square, got {table}")
+    for a in range(s):
+        for b in range(s):
+            if table[a][b] != table[b][a]:
+                raise ValueError(f"species table must be symmetric, "
+                                 f"got {table}")
+    return s
+
+
+def _pair_mask(si, sj, a: int, b: int):
+    m = (si == float(a)) & (sj == float(b))
+    if a != b:
+        m = m | ((si == float(b)) & (sj == float(a)))
+    return m
+
+
+@dataclasses.dataclass(frozen=True)
+class LJMixture:
+    """Truncated LJ 12-6 with per-species-pair (epsilon, sigma, r_cut).
+
+    ``epsilon``/``sigma``/``r_cut_table`` are symmetric [S][S] nested tuples.
+    ``shift=True`` subtracts each pair's cutoff value (continuous energies —
+    the standard choice for Kob-Andersen).
+    """
+
+    epsilon: tuple
+    sigma: tuple
+    r_cut_table: tuple
+    shift: bool = True
+    has_energy: bool = dataclasses.field(default=True, init=False)
+    has_hard_core: bool = dataclasses.field(default=False, init=False)
+    is_mixture: bool = dataclasses.field(default=True, init=False)
+
+    def __post_init__(self):
+        s = _sym(self.epsilon)
+        if _sym(self.sigma) != s or _sym(self.r_cut_table) != s:
+            raise ValueError("species tables disagree on S")
+
+    @property
+    def n_species(self) -> int:
+        return len(self.epsilon)
+
+    @property
+    def r_cut(self) -> float:
+        """Largest pair cutoff — what the cell width must cover."""
+        return max(max(row) for row in self.r_cut_table)
+
+    def _term(self, r2, eps, sig, rc, inv_fn=None):
+        if inv_fn is None:
+            inv2 = (sig * sig) / jnp.maximum(r2, 1e-12)
+        else:
+            inv2 = (sig * sig) * inv_fn(r2)
+        inv6 = inv2 * inv2 * inv2
+        e = 4.0 * eps * (inv6 * inv6 - inv6)
+        if self.shift:
+            s6 = (sig / rc) ** 6
+            e = e - 4.0 * eps * (s6 * s6 - s6)
+        return jnp.where(r2 <= rc * rc, e, 0.0)
+
+    def _energy_s(self, r2, si, sj, inv_fn=None):
+        e = jnp.zeros(jnp.broadcast_shapes(r2.shape, si.shape, sj.shape),
+                      jnp.float32)
+        s = self.n_species
+        for a in range(s):
+            for b in range(a, s):
+                e = e + jnp.where(
+                    _pair_mask(si, sj, a, b),
+                    self._term(r2, self.epsilon[a][b], self.sigma[a][b],
+                               self.r_cut_table[a][b], inv_fn),
+                    0.0)
+        return e
+
+    def pair_energy_s(self, r2, si, sj):
+        return self._energy_s(r2, si, sj)
+
+    def pair_energy_s_pl(self, r2, si, sj):
+        """Pallas-kernel variant (Newton-refined approximate reciprocal)."""
+        from mcjax.models.potentials import _pl_safe_inv
+
+        return self._energy_s(r2, si, sj, _pl_safe_inv)
+
+    def overlap_s(self, r2, si, sj):
+        return jnp.zeros(jnp.broadcast_shapes(r2.shape, si.shape, sj.shape),
+                         jnp.bool_)
+
+
+@dataclasses.dataclass(frozen=True)
+class HardSphereMixture:
+    """Hard spheres/disks with a per-pair contact-distance table.
+
+    Supports NON-additive mixtures (d_AB need not be (d_AA + d_BB)/2) — the
+    Widom-Rowlinson / depletion playground one-component codes cannot touch.
+    """
+
+    diameter: tuple
+    has_energy: bool = dataclasses.field(default=False, init=False)
+    has_hard_core: bool = dataclasses.field(default=True, init=False)
+    is_mixture: bool = dataclasses.field(default=True, init=False)
+
+    def __post_init__(self):
+        _sym(self.diameter)
+
+    @property
+    def n_species(self) -> int:
+        return len(self.diameter)
+
+    @property
+    def r_cut(self) -> float:
+        return max(max(row) for row in self.diameter)
+
+    def pair_energy_s(self, r2, si, sj):
+        return jnp.zeros(jnp.broadcast_shapes(r2.shape, si.shape, sj.shape),
+                         jnp.float32)
+
+    def overlap_s(self, r2, si, sj):
+        ov = jnp.zeros(jnp.broadcast_shapes(r2.shape, si.shape, sj.shape),
+                       jnp.bool_)
+        s = self.n_species
+        for a in range(s):
+            for b in range(a, s):
+                dab = self.diameter[a][b]
+                ov = ov | (_pair_mask(si, sj, a, b) & (r2 < dab * dab))
+        return ov
+
+
+def kob_andersen(shift: bool = True) -> LJMixture:
+    """The canonical 80:20 binary LJ glass former (Kob-Andersen 1995):
+    eps_AA=1.0 eps_AB=1.5 eps_BB=0.5; sig_AA=1.0 sig_AB=0.8 sig_BB=0.88;
+    r_cut_ab = 2.5 sig_ab."""
+    eps = ((1.0, 1.5), (1.5, 0.5))
+    sig = ((1.0, 0.8), (0.8, 0.88))
+    rc = tuple(tuple(2.5 * s for s in row) for row in sig)
+    return LJMixture(epsilon=eps, sigma=sig, r_cut_table=rc, shift=shift)

@@ -242,7 +242,8 @@ def _flat_slot(cfg: SimConfig, c: jax.Array) -> jax.Array:
     return color * cfg.cells_per_color + blk
 
 
-def bin_particles(cfg: SimConfig, positions: jax.Array
+def bin_particles(cfg: SimConfig, positions: jax.Array,
+                  extra: jax.Array | None = None
                   ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Scatter [N, dim] positions into color-blocked slabs.
 
@@ -251,27 +252,34 @@ def bin_particles(cfg: SimConfig, positions: jax.Array
     vectorized, and capacity-checked (overflowing particles are dropped and
     flagged instead of silently corrupting memory — SURVEY.md Q7).
 
+    ``extra`` ([N, E] float) appends E per-particle attribute planes (e.g.
+    species ids for mixtures) that ride along with the coordinates through
+    every transport op (grid shift, neighbor reads) for free.
+
     Returns:
-      pos [ncolors, dim, nmax, *bs], occ [ncolors, *bs], overflow bool.
+      pos [ncolors, dim (+E), nmax, *bs], occ [ncolors, *bs], overflow bool.
     """
     n = positions.shape[0]
     positions = wrap_into_box(positions, cfg.box_length)
     g = _flat_slot(cfg, cell_coords(cfg, positions))
     n_slots = cfg.n_colors * cfg.cells_per_color
+    data = positions if extra is None else jnp.concatenate(
+        [positions, jnp.asarray(extra, jnp.float32)], axis=1)
+    n_planes = data.shape[1]
 
     order = jnp.argsort(g, stable=True)
     g_sorted = g[order]
-    pos_sorted = positions[order]
+    data_sorted = data[order]
     first = jnp.searchsorted(g_sorted, g_sorted, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
 
-    slabs = jnp.zeros((n_slots, cfg.nmax, cfg.dim), jnp.float32)
-    slabs = slabs.at[g_sorted, rank].set(pos_sorted, mode="drop")
+    slabs = jnp.zeros((n_slots, cfg.nmax, n_planes), jnp.float32)
+    slabs = slabs.at[g_sorted, rank].set(data_sorted, mode="drop")
     occ = jnp.zeros((n_slots,), jnp.int32).at[g].add(1)
     overflow = jnp.any(occ > cfg.nmax)
     occ = jnp.minimum(occ, cfg.nmax)
 
-    pos = slabs.reshape((cfg.n_colors, *cfg.block_shape, cfg.nmax, cfg.dim))
+    pos = slabs.reshape((cfg.n_colors, *cfg.block_shape, cfg.nmax, n_planes))
     # cold-path transpose into the canonical coordinate-planes layout
     pos = jnp.moveaxis(pos, (-1, -2), (1, 2))
     occ = occ.reshape((cfg.n_colors, *cfg.block_shape))
@@ -279,13 +287,15 @@ def bin_particles(cfg: SimConfig, positions: jax.Array
 
 
 def unbin(cfg: SimConfig, pos: jax.Array, occ: jax.Array) -> jax.Array:
-    """Flatten slabs back to [n_atoms, dim] (deterministic slot order).
+    """Flatten slabs back to [n_atoms, dim (+E)] (deterministic slot order).
 
     Inverse of ``bin_particles``; the reference analogue is ``disk_to_r``
-    (kernel.cu:497-507). Requires sum(occ) == cfg.n_atoms.
+    (kernel.cu:497-507). Requires sum(occ) == cfg.n_atoms. Attribute planes
+    beyond dim (mixtures) come back as trailing columns.
     """
-    pos = jnp.moveaxis(pos, (1, 2), (-1, -2))  # back to [colors, *bs, nmax, dim]
-    flat_pos = pos.reshape((-1, cfg.nmax, cfg.dim)).reshape((-1, cfg.dim))
+    n_planes = pos.shape[1]
+    pos = jnp.moveaxis(pos, (1, 2), (-1, -2))  # [colors, *bs, nmax, planes]
+    flat_pos = pos.reshape((-1, cfg.nmax, n_planes)).reshape((-1, n_planes))
     valid = (jnp.arange(cfg.nmax)[None, :]
              < occ.reshape((-1,))[:, None]).reshape((-1,))
     idx = jnp.argsort(~valid, stable=True)[: cfg.n_atoms]
@@ -449,15 +459,22 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
     """
     w = cfg.cell_width
     dim = cfg.dim
+    n_planes = pos.shape[1]          # dim, + any attribute planes (mixtures)
     bs_grid = occ.shape[1:]
     use_flat = (bs_grid[-1] % 128 != 0 and block_offset is None
                 and shift_fn is roll_shift_fn)
     if use_flat:
         return _shift_rebin_axis_flat(cfg, axis, pos, occ, d)
-    # Shift all coordinates: x_axis -> wrap(x_axis - d).
-    delta = jnp.zeros((dim,), pos.dtype).at[axis].set(d)
-    delta = delta.reshape((1, dim, 1) + (1,) * dim)
-    newpos = wrap_into_box(pos - delta, cfg.box_length)
+    # Shift all coordinates: x_axis -> wrap(x_axis - d). Attribute planes
+    # (delta 0) wrap harmlessly: species ids are in [0, S) << L/2.
+    delta = jnp.zeros((n_planes,), pos.dtype).at[axis].set(d)
+    delta = delta.reshape((1, n_planes, 1) + (1,) * dim)
+    newpos = pos - delta
+    # wrap the coordinate planes only (concatenate, not scatter: a
+    # zero-dim scatter's empty index constant breaks shard_map vma checks)
+    coords = wrap_into_box(newpos[:, :dim], cfg.box_length)
+    newpos = (coords if n_planes == dim
+              else jnp.concatenate([coords, newpos[:, dim:]], axis=1))
 
     def merge_for_color(color: int, donor_dir: int):
         o = color_bits(color, dim)
@@ -506,7 +523,7 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
         csum = jnp.cumsum(belongs.astype(jnp.int32), axis=0)
         dest = csum - 1                                # kept item -> out slot
         new_occ = csum[-1]
-        out = jnp.zeros((dim, nmax) + bs_local, cand.dtype)
+        out = jnp.zeros((n_planes, nmax) + bs_local, cand.dtype)
         for j in range(2 * nmax):
             hit = belongs[j][None] & (dest[j][None] == slot)   # [nmax, *bs]
             out = jnp.where(hit[None], cand[:, j][:, None], out)
@@ -536,10 +553,14 @@ def _shift_rebin_axis_flat(cfg: SimConfig, axis: int, pos: jax.Array,
     dim, nmax = cfg.dim, cfg.nmax
     P = cfg.cells_per_color
     bs = cfg.block_shape
-    delta = jnp.zeros((dim,), pos.dtype).at[axis].set(d)
-    fpos = pos.reshape(cfg.n_colors, dim, nmax, P)
+    n_planes = pos.shape[1]          # dim, + any attribute planes (mixtures)
+    fpos = pos.reshape(cfg.n_colors, n_planes, nmax, P)
     focc = occ.reshape(cfg.n_colors, P)
-    fnew = wrap_into_box(fpos - delta.reshape(1, dim, 1, 1), cfg.box_length)
+    delta = jnp.zeros((n_planes,), pos.dtype).at[axis].set(d)
+    fnew = fpos - delta.reshape(1, n_planes, 1, 1)
+    fcoords = wrap_into_box(fnew[:, :dim], cfg.box_length)
+    fnew = (fcoords if n_planes == dim
+            else jnp.concatenate([fcoords, fnew[:, dim:]], axis=1))
     bk = jnp.asarray(np.indices(bs)[axis].reshape(-1))     # [P]
     slot = jnp.arange(nmax)[:, None]                       # [nmax, 1]
 
@@ -566,7 +587,7 @@ def _shift_rebin_axis_flat(cfg: SimConfig, axis: int, pos: jax.Array,
         csum = jnp.cumsum(belongs.astype(jnp.int32), axis=0)
         dest = csum - 1
         new_occ = csum[-1]
-        out = jnp.zeros((dim, nmax, P), cand.dtype)
+        out = jnp.zeros((n_planes, nmax, P), cand.dtype)
         for j in range(2 * nmax):
             hit = belongs[j][None] & (dest[j][None] == slot)
             out = jnp.where(hit[None], cand[:, j][:, None], out)

@@ -1,0 +1,216 @@
+"""Mixture sweep engine: checkerboard Metropolis with per-pair species params.
+
+Species transport design: the species id rides the state as ONE EXTRA
+COORDINATE PLANE (pos[color, dim, ...] becomes pos[color, dim + 1, ...],
+plane ``dim`` holding the id as a float). Because the cell-list transport
+machinery (binning scatter, grid-shift merge, neighbor reads) moves whole
+plane stacks with one shared slot selection, the id follows its particle
+through every re-bin with zero extra bookkeeping — the merge cannot ever
+split a particle from its species. The sweep engine slices the planes apart
+only at energy-evaluation time.
+
+Single-species analogue: mcjax.ops.sweep.color_substep (structure mirrored
+line-for-line so the detailed-balance kit — in-cell rejection, uniform pick,
+color shuffle, grid shift — stays identical; reference spec kernel.cu:192-206,
+294-423). The reference supports no mixtures at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcjax.core.config import SimConfig
+from mcjax.core.geometry import min_image
+from mcjax.core.state import SimState
+from mcjax.ops import cells
+from mcjax.ops import sweep as xs
+from mcjax.ops.cells import ShiftFn, roll_shift_fn
+
+
+def init_mixture_state(cfg: SimConfig, positions: jax.Array,
+                       species: jax.Array, seed: int | jax.Array = 0
+                       ) -> SimState:
+    """Bin [N, dim] positions + [N] integer species ids into a mixture state
+    (pos carries dim + 1 planes; plane ``dim`` is the species id)."""
+    spec = jnp.asarray(species, jnp.float32)[:, None]
+    pos, occ, overflow = cells.bin_particles(cfg, positions, extra=spec)
+    key = seed if hasattr(seed, "dtype") else jax.random.PRNGKey(seed)
+    return SimState(pos=pos, occ=occ, key=key,
+                    sweep=jnp.zeros((), jnp.int32), overflow=overflow)
+
+
+def unbin_mixture(cfg: SimConfig, pos: jax.Array, occ: jax.Array
+                  ) -> tuple[jax.Array, jax.Array]:
+    """-> ([N, dim] positions, [N] int32 species)."""
+    flat = cells.unbin(cfg, pos, occ)
+    return flat[:, :cfg.dim], flat[:, cfg.dim].astype(jnp.int32)
+
+
+def color_substep_mixture(cfg: SimConfig, pot, color: int,
+                          pos: jax.Array, occ: jax.Array, key: jax.Array,
+                          shift_fn: ShiftFn = roll_shift_fn,
+                          beta: jax.Array | float | None = None,
+                          block_offset: jax.Array | None = None
+                          ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                     jax.Array]:
+    """color_substep with species-resolved pair terms.
+
+    pos blocks hold dim+1 planes; the species plane is frozen during moves
+    (MC displacements never change identity) and re-attached on return.
+    """
+    dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    if beta is None:
+        beta = cfg.beta
+    own = pos[color]                        # [dim+1, nmax, *bs]
+    ownp = own[:dim]
+    ownspec = own[dim]                      # [nmax, *bs] float ids
+    own_occ = occ[color]
+    bs = own_occ.shape
+    nbr_all, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
+                                            block_offset)
+    nbrp = nbr_all[:, :dim]                 # [K, dim, nmax, *bs]
+    nbrspec = nbr_all[:, dim]               # [K, nmax, *bs]
+    lbp = xs._cell_lower_bounds(cfg, color, bs, block_offset)
+    w = cfg.cell_width
+
+    pick_u, dispp, acc_u = xs.substep_randoms(cfg, key, bs,
+                                              need_acc=pot.has_energy)
+
+    slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+    nbr_valid = slot[None] < nbr_occ[:, None]
+    own_count = own_occ[None]
+    nonempty = own_occ > 0
+
+    def energy_at(x, sx, ownp_cur, sel):
+        """(energy, overlap) of a species-sx particle at x vs its ring."""
+        d_own = x[:, None] - ownp_cur
+        r2_own = jnp.sum(d_own * d_own, axis=0)          # [nmax, *bs]
+        valid_own = (slot < own_count) & ~sel
+        e_o = jnp.where(valid_own,
+                        pot.pair_energy_s(r2_own, sx[None], ownspec), 0.0)
+        ov_o = valid_own & pot.overlap_s(r2_own, sx[None], ownspec)
+
+        d_nbr = x[None, :, None] - nbrp
+        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=1)          # [K, nmax, *bs]
+        e_n = jnp.where(nbr_valid,
+                        pot.pair_energy_s(r2_nbr, sx[None, None], nbrspec),
+                        0.0)
+        ov_n = nbr_valid & pot.overlap_s(r2_nbr, sx[None, None], nbrspec)
+
+        e = jnp.sum(e_o, axis=0) + jnp.sum(e_n, axis=(0, 1))
+        ov = jnp.any(ov_o, axis=0) | jnp.any(ov_n, axis=(0, 1))
+        return e, ov
+
+    def move_body(m, carry):
+        ownp_cur, de_sum, n_acc = carry
+        p = jnp.floor(pick_u[m] * own_occ.astype(jnp.float32)
+                      ).astype(jnp.int32)
+        p = jnp.minimum(p, jnp.maximum(own_occ - 1, 0))
+        sel = slot == p[None]
+
+        old = jnp.sum(jnp.where(sel[None], ownp_cur, 0.0), axis=1)
+        sx = jnp.sum(jnp.where(sel, ownspec, 0.0), axis=0)   # [*bs]
+        new = old + dispp[m]
+
+        oob = jnp.any((new < lbp) | (new >= lbp + w), axis=0)
+
+        e_old, _ = energy_at(old, sx, ownp_cur, sel)
+        e_new, ov_new = energy_at(new, sx, ownp_cur, sel)
+        de = e_new - e_old
+
+        if pot.has_energy:
+            metro = acc_u[m] < jnp.exp(-beta * de)
+        else:
+            metro = jnp.ones_like(oob)
+        accept = nonempty & ~oob & ~ov_new & metro
+
+        upd = accept[None] & sel
+        ownp_cur = jnp.where(upd[None], new[:, None], ownp_cur)
+        de_sum = de_sum + jnp.sum(jnp.where(accept, de, 0.0))
+        n_acc = n_acc + jnp.sum(accept)
+        return ownp_cur, de_sum, n_acc
+
+    zf = own[(0,) * own.ndim] * 0.0
+    zi = own_occ[(0,) * own_occ.ndim] * 0
+    ownp_new, de_sum, n_acc = jax.lax.fori_loop(
+        0, n_m, move_body, (ownp, zf, zi))
+    n_prop = n_m * jnp.sum(nonempty.astype(jnp.int32))
+    own_new = jnp.concatenate([ownp_new, ownspec[None]], axis=0)
+    return own_new, de_sum, n_acc, n_prop
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def run_sweeps_mixture(cfg: SimConfig, pot, state: SimState, n_sweeps: int,
+                       beta: jax.Array | None = None
+                       ) -> tuple[SimState, xs.SweepMetrics]:
+    """run_sweeps for mixture states — mc_sweep with the species-aware
+    substep; schedule/shift logic (the detailed-balance kit) is shared."""
+
+    def body(st, _):
+        st, m = xs.mc_sweep(cfg, pot, st, beta=beta,
+                            substep_fn=color_substep_mixture)
+        return st, m
+
+    return jax.lax.scan(body, state, length=n_sweeps)
+
+
+def total_interaction_cells_mixture(cfg: SimConfig, pot, pos: jax.Array,
+                                    occ: jax.Array,
+                                    shift_fn: ShiftFn = roll_shift_fn
+                                    ) -> tuple[jax.Array, jax.Array]:
+    """(total energy, any overlap) of a mixture state via cell lists —
+    the dE-trace anchor (reference technique, kernel.cu:642,672-680)."""
+    nmax, dim = cfg.nmax, cfg.dim
+    total = jnp.float32(0.0)
+    any_ov = jnp.zeros((), jnp.bool_)
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        ownp, ownspec = own[:dim], own[dim]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        d = min_image(ownp[:, :, None] - ownp[:, None, :], cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        vv = (valid_i[:, None] & valid_i[None, :]
+              & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
+                 ).reshape((nmax, nmax) + (1,) * len(bs)))
+        e = jnp.where(vv, pot.pair_energy_s(r2, ownspec[:, None],
+                                            ownspec[None, :]), 0.0)
+        ov = vv & pot.overlap_s(r2, ownspec[:, None], ownspec[None, :])
+        total = total + 0.5 * jnp.sum(e)
+        any_ov = any_ov | jnp.any(ov)
+        nbr_all, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color,
+                                                shift_fn)
+        nbrp, nbrspec = nbr_all[:, :dim], nbr_all[:, dim]
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = min_image(ownp[None, :, :, None] - nbrp[:, :, None, :],
+                       cfg.box_length)
+        r2x = jnp.sum(dx * dx, axis=1)
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        ex = jnp.where(vx, pot.pair_energy_s(
+            r2x, ownspec[None, :, None], nbrspec[:, None, :]), 0.0)
+        ovx = vx & pot.overlap_s(r2x, ownspec[None, :, None],
+                                 nbrspec[:, None, :])
+        total = total + 0.5 * jnp.sum(ex)
+        any_ov = any_ov | jnp.any(ovx)
+    return total, any_ov
+
+
+def total_energy_mixture_n2(pot, positions: np.ndarray | jax.Array,
+                            species, box_length: float
+                            ) -> tuple[jax.Array, jax.Array]:
+    """O(N^2) species-resolved reference energy (test oracle)."""
+    r = jnp.asarray(positions)
+    s = jnp.asarray(species, jnp.float32)
+    d = min_image(r[:, None, :] - r[None, :, :], box_length)
+    r2 = jnp.sum(d * d, axis=-1)
+    n = r.shape[0]
+    off = ~jnp.eye(n, dtype=bool)
+    e = jnp.where(off, pot.pair_energy_s(r2, s[:, None], s[None, :]), 0.0)
+    ov = off & pot.overlap_s(r2, s[:, None], s[None, :])
+    return 0.5 * jnp.sum(e), jnp.any(ov)

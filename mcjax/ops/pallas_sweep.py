@@ -82,7 +82,17 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     # Kernel-optimized pair energy where the model provides one (LJ family:
     # Newton-refined approximate reciprocal instead of a serializing exact
     # divide — 2 divides/slot were the largest single cost of the LJ kernel).
-    pair_fn = getattr(pot, "pair_energy_pl", pot.pair_energy)
+    # Mixtures: the species id rides as slab plane ``dim`` (mcjax.ops.mixture)
+    # and pair terms resolve per species pair; costs one extra load per slot
+    # plus the masked per-pair selects inside pair_energy_s.
+    mixture = getattr(pot, "is_mixture", False)
+    n_planes = dim + (1 if mixture else 0)
+    if mixture:
+        pair_s_fn = getattr(pot, "pair_energy_s_pl", pot.pair_energy_s)
+        overlap_s_fn = pot.overlap_s
+        pair_fn = None
+    else:
+        pair_fn = getattr(pot, "pair_energy_pl", pot.pair_energy)
 
     def kernel(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
                pick_ref, disp_ref, accu_ref, beta_ref,
@@ -99,13 +109,16 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             p = jnp.floor(pick * occf).astype(jnp.int32)
             p = jnp.minimum(p, jnp.maximum(occ - 1, 0))
 
-            # select the moving particle's coordinates (one-hot over slots)
+            # select the moving particle's coordinates (one-hot over slots);
+            # for mixtures also its species (plane ``dim``)
             old = []
-            for d in range(dim):
+            for d in range(n_planes):
                 v = out_ref[d * nmax]
                 for j in range(1, nmax):
                     v = jnp.where(p == j, out_ref[d * nmax + j], v)
                 old.append(v)
+            sx = old[dim] if mixture else None
+            old = old[:dim]
             new = [old[d] + disp_ref[m * dim + d] for d in range(dim)]
 
             # in-cell rejection (detailed balance; kernel.cu:192-206)
@@ -125,7 +138,8 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             # No minimum-image arithmetic: neighbor planes are pre-unwrapped
             # across the periodic boundary (cells.neighbor_stack) and own-cell
             # pairs share a cell, so raw differences are already minimal.
-            def accumulate(slot, xs_old, xs_new, valid, de_parts, ov_parts):
+            def accumulate(slot, xs_old, xs_new, valid, de_parts, ov_parts,
+                           sj=None):
                 a = slot % A
                 r2n = zero
                 for d in range(dim):
@@ -134,30 +148,38 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     r2o = zero
                     for d in range(dim):
                         r2o = r2o + xs_old[d] * xs_old[d]
-                    term = pair_fn(r2n) - pair_fn(r2o)
+                    if mixture:
+                        term = (pair_s_fn(r2n, sx, sj)
+                                - pair_s_fn(r2o, sx, sj))
+                    else:
+                        term = pair_fn(r2n) - pair_fn(r2o)
                     de_parts = (de_parts[:a]
                                 + (de_parts[a] + jnp.where(valid, term, 0.0),)
                                 + de_parts[a + 1:])
                 if hard:
-                    term_ov = (valid & pot.overlap(r2n)).astype(ov_dtype)
+                    ov = (overlap_s_fn(r2n, sx, sj) if mixture
+                          else pot.overlap(r2n))
+                    term_ov = (valid & ov).astype(ov_dtype)
                     ov_parts = (ov_parts[:a]
                                 + (ov_parts[a] | term_ov,)
                                 + ov_parts[a + 1:])
                 return de_parts, ov_parts
 
             # neighbor-cell pairs (frozen during the sub-sweep); plane order
-            # matches the native neighbor_stack layout [K, dim, nmax, ...]
+            # matches the native neighbor_stack layout [K, n_planes, nmax, ...]
             def nbr_cell_pairs(k, de_parts, ov_parts):
                 nocc = nbrocc_ref[k]
                 for j in range(nmax):
                     valid = j < nocc
                     xs_old, xs_new = [], []
                     for d in range(dim):
-                        nb = nbr_ref[(k * dim + d) * nmax + j]
+                        nb = nbr_ref[(k * n_planes + d) * nmax + j]
                         xs_old.append(old[d] - nb)
                         xs_new.append(new[d] - nb)
+                    sj = (nbr_ref[(k * n_planes + dim) * nmax + j]
+                          if mixture else None)
                     de_parts, ov_parts = accumulate(
-                        j, xs_old, xs_new, valid, de_parts, ov_parts)
+                        j, xs_old, xs_new, valid, de_parts, ov_parts, sj)
                 return de_parts, ov_parts
 
             if unroll_neighbors:
@@ -192,8 +214,9 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     nb = out_ref[d * nmax + j]
                     xs_old.append(old[d] - nb)
                     xs_new.append(new[d] - nb)
+                sj = out_ref[dim * nmax + j] if mixture else None
                 de_parts, ov_parts = accumulate(
-                    j, xs_old, xs_new, valid, de_parts, ov_parts)
+                    j, xs_old, xs_new, valid, de_parts, ov_parts, sj)
 
             # pairwise tree-fold keeps the tail reduction parallel too
             def tree_fold(parts, op):
@@ -263,10 +286,12 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     # ~10x cheaper. Sharded runs keep the packed halo path.
     use_flat = (bs[-1] % 128 != 0 and block_offset is None
                 and shift_fn is roll_shift_fn)
+    # mixtures carry the species id as plane ``dim`` (mcjax.ops.mixture)
+    n_planes = pos.shape[1]
     if use_flat:
-        fpos = pos.reshape(cfg.n_colors, dim, nmax, n_cells)
+        fpos = pos.reshape(cfg.n_colors, n_planes, nmax, n_cells)
         focc = occ.reshape(cfg.n_colors, n_cells)
-        own = fpos[color]                  # [dim, nmax, P]
+        own = fpos[color]                  # [n_planes, nmax, P]
         own_occ = focc[color]
         nbr_pos, nbr_occ = cells.flat_neighbor_stack(cfg, fpos, focc, color)
         lb = jnp.asarray(cells._flat_lower_bounds_np(cfg, color))
@@ -297,8 +322,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
         x = jnp.pad(x, ((0, 0), (0, padded - n_cells)))
         return x.reshape(lead, rp, cp)
 
-    own_p = to_tiles(own, dim * nmax)
-    nbr_p = to_tiles(nbr_pos, n_k * dim * nmax)
+    own_p = to_tiles(own, n_planes * nmax)
+    nbr_p = to_tiles(nbr_pos, n_k * n_planes * nmax)
     occ_p = to_tiles(own_occ, 1)
     nbrocc_p = to_tiles(nbr_occ, n_k)
     lb_p = to_tiles(lb, dim)
@@ -327,27 +352,28 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     # under shard_map, outputs must declare their varying mesh axes
     vma_set = frozenset(vma) if vma else None
     out_shapes = (
-        jax.ShapeDtypeStruct((dim * nmax, rp, cp), jnp.float32, vma=vma_set),
+        jax.ShapeDtypeStruct((n_planes * nmax, rp, cp), jnp.float32,
+                             vma=vma_set),
         jax.ShapeDtypeStruct((1, rp, cp), jnp.float32, vma=vma_set),
         jax.ShapeDtypeStruct((1, rp, cp), jnp.int32, vma=vma_set),
     )
     # Per-tile buffer footprint x2 for the pipeline's double buffering,
     # plus slack; the compiler treats this as the scoped-vmem budget.
     vmem_bytes = 2 * 4 * tile_rows * tile_cols * (
-        2 * dim * nmax + 1 + dim * n_k * nmax + n_k + dim
+        2 * n_planes * nmax + 1 + n_planes * n_k * nmax + n_k + dim
         + n_m * (2 + dim) + 4) + 4 * 1024 * 1024
 
     own_new_p, de_map, acc_map = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            bspec(dim * nmax), bspec(1), bspec(dim * n_k * nmax),
+            bspec(n_planes * nmax), bspec(1), bspec(n_planes * n_k * nmax),
             bspec(n_k), bspec(dim), bspec(n_m), bspec(n_m * dim),
             bspec(n_m),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(bspec(dim * nmax), bspec(1), bspec(1)),
+        out_specs=(bspec(n_planes * nmax), bspec(1), bspec(1)),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)),
@@ -355,8 +381,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     )(own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p, beta_arr)
 
     # ---- unpad; output is already in the canonical planes layout ----------
-    own_new = own_new_p.reshape(dim * nmax, padded)[:, :n_cells]
-    own_new = own_new.reshape(dim, nmax, *bs)
+    own_new = own_new_p.reshape(n_planes * nmax, padded)[:, :n_cells]
+    own_new = own_new.reshape(n_planes, nmax, *bs)
     de = jnp.sum(de_map)
     n_acc = jnp.sum(acc_map)
     n_prop = n_m * jnp.sum((own_occ > 0).astype(jnp.int32))
@@ -444,7 +470,7 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
         P = cfg.cells_per_color
         state = dataclasses.replace(
             state,
-            pos=state.pos.reshape(cfg.n_colors, cfg.dim, cfg.nmax, P),
+            pos=state.pos.reshape(cfg.n_colors, -1, cfg.nmax, P),
             occ=state.occ.reshape(cfg.n_colors, P))
 
     def body(st, _):

@@ -1,0 +1,193 @@
+"""Mixture tests: per-pair params, species transport, energy anchoring.
+
+The reference is one-component only; the mixture machinery (species rides as
+an extra coordinate plane through binning/shift/neighbor transport) is
+mcjax's own — these tests pin its invariants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcjax.core.config import SimConfig
+from mcjax.models.mixtures import (HardSphereMixture, LJMixture,
+                                   kob_andersen)
+from mcjax.ops import cells
+from mcjax.ops.mixture import (color_substep_mixture, init_mixture_state,
+                               run_sweeps_mixture,
+                               total_energy_mixture_n2,
+                               total_interaction_cells_mixture,
+                               unbin_mixture)
+
+
+def ka_cfg(**kw):
+    base = dict(dim=3, n_atoms=100, box_length=10.0, cells_per_side=4,
+                nmax=12, n_moves=6, beta=1.0, step_size=0.15, seed=0)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def random_mixture(cfg, frac_b=0.2, seed=1):
+    kr, ks = jax.random.split(jax.random.PRNGKey(seed))
+    r = jax.random.uniform(kr, (cfg.n_atoms, cfg.dim),
+                           minval=-cfg.box_length / 2,
+                           maxval=cfg.box_length / 2)
+    spec = (jax.random.uniform(ks, (cfg.n_atoms,)) < frac_b).astype(jnp.int32)
+    return r, spec
+
+
+def test_lj_mixture_closed_form():
+    ka = kob_andersen(shift=False)
+    assert ka.n_species == 2 and ka.r_cut == 2.5
+    r2 = jnp.array([2.0 ** (1.0 / 3.0)])     # LJ minimum for sigma=1
+    zero = jnp.zeros(1)
+    one = jnp.ones(1)
+    # AA: plain LJ, min = -eps_AA
+    np.testing.assert_allclose(ka.pair_energy_s(r2, zero, zero), [-1.0],
+                               rtol=1e-6)
+    # AB: -eps_AB at r = 2^(1/6) sigma_AB
+    r2ab = jnp.array([(0.8 * 2 ** (1 / 6)) ** 2])
+    np.testing.assert_allclose(ka.pair_energy_s(r2ab, zero, one), [-1.5],
+                               rtol=1e-6)
+    np.testing.assert_allclose(ka.pair_energy_s(r2ab, one, zero), [-1.5],
+                               rtol=1e-6)                 # symmetric
+    # BB: -eps_BB at r = 2^(1/6) sigma_BB
+    r2bb = jnp.array([(0.88 * 2 ** (1 / 6)) ** 2])
+    np.testing.assert_allclose(ka.pair_energy_s(r2bb, one, one), [-0.5],
+                               rtol=1e-6)
+    # shifted variant is ~0 at each pair's own cutoff
+    kas = kob_andersen(shift=True)
+    for (si, sj, sig) in ((zero, zero, 1.0), (zero, one, 0.8),
+                          (one, one, 0.88)):
+        rc = 2.5 * sig
+        v = kas.pair_energy_s(jnp.array([(rc - 1e-4) ** 2]), si, sj)
+        assert abs(float(v[0])) < 1e-3
+
+
+def test_mixture_tables_validated():
+    with pytest.raises(ValueError, match="symmetric"):
+        LJMixture(epsilon=((1.0, 0.5), (1.5, 1.0)),
+                  sigma=((1.0, 1.0), (1.0, 1.0)),
+                  r_cut_table=((2.5, 2.5), (2.5, 2.5)))
+
+
+def test_species_bin_unbin_roundtrip():
+    cfg = ka_cfg()
+    r, spec = random_mixture(cfg)
+    st = init_mixture_state(cfg, r, spec)
+    assert st.pos.shape[1] == cfg.dim + 1
+    r2, s2 = unbin_mixture(cfg, st.pos, st.occ)
+    # same multiset of (position, species) rows
+    a = np.concatenate([np.asarray(r), np.asarray(spec)[:, None]], axis=1)
+    b = np.concatenate([np.asarray(r2), np.asarray(s2)[:, None]], axis=1)
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_species_survive_grid_shift():
+    """The shift merge must never separate a particle from its species id."""
+    cfg = ka_cfg()
+    r, spec = random_mixture(cfg)
+    st = init_mixture_state(cfg, r, spec)
+    for axis in range(cfg.dim):
+        d = jnp.float32(0.4 if axis % 2 == 0 else -0.35)
+        p2, o2, ovf = cells.shift_rebin(cfg, st.pos, st.occ,
+                                        jnp.int32(axis), d)
+        assert not bool(ovf)
+        r2, s2 = unbin_mixture(cfg, p2, o2)
+        # positions shifted by -d along axis (wrapped); species follow
+        expect = np.asarray(r).copy()
+        expect[:, axis] = ((expect[:, axis] - float(d) + cfg.box_length / 2)
+                           % cfg.box_length) - cfg.box_length / 2
+        a = np.concatenate([expect, np.asarray(spec)[:, None]], axis=1)
+        b = np.concatenate([np.asarray(r2), np.asarray(s2)[:, None]], axis=1)
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_kob_andersen_anchor():
+    """dE-accumulated trace tracks the exact mixture energy (the reference's
+    own anchor technique, applied to physics it cannot express)."""
+    ka = kob_andersen()
+    cfg = ka_cfg()
+    # stratified start: min separation w/2 = 1.25 keeps f32 LJ energies
+    # moderate, so the anchor tolerance is meaningful
+    r = cells.stratified_positions(cfg)
+    spec = (jax.random.uniform(jax.random.PRNGKey(2),
+                               (cfg.n_atoms,)) < 0.2).astype(jnp.int32)
+    st = init_mixture_state(cfg, r, spec)
+    e0, _ = total_energy_mixture_n2(ka, *unbin_mixture(cfg, st.pos, st.occ),
+                                    cfg.box_length)
+    e0_cells, _ = total_interaction_cells_mixture(cfg, ka, st.pos, st.occ)
+    np.testing.assert_allclose(float(e0), float(e0_cells), rtol=1e-4)
+
+    st2, m = run_sweeps_mixture(cfg, ka, st, 20)
+    assert int(st2.occ.sum()) == cfg.n_atoms
+    e_traced = float(e0) + float(jnp.sum(m.delta_e))
+    e_exact, _ = total_energy_mixture_n2(
+        ka, *unbin_mixture(cfg, st2.pos, st2.occ), cfg.box_length)
+    assert abs(e_traced - float(e_exact)) < 1e-2 * max(1.0,
+                                                       abs(float(e_exact)))
+    # species populations conserved through the whole run
+    _, s_after = unbin_mixture(cfg, st2.pos, st2.occ)
+    assert int(jnp.sum(s_after)) == int(jnp.sum(spec))
+
+
+def test_nonadditive_hard_mixture_no_overlaps():
+    """Non-additive hard-disk mixture: the chain must never create an
+    overlap under the per-pair contact table."""
+    hs = HardSphereMixture(diameter=((1.0, 0.6), (0.6, 0.5)))
+    cfg = ka_cfg(dim=2, n_atoms=60, box_length=12.0, cells_per_side=8,
+                 nmax=8, n_moves=4, step_size=0.2, proposal="uniform")
+    # start from a stratified (overlap-free for these diameters) layout
+    r = cells.stratified_positions(cfg)
+    spec = (jnp.arange(cfg.n_atoms) % 5 == 0).astype(jnp.int32)
+    st = init_mixture_state(cfg, r, spec)
+    _, ov0 = total_energy_mixture_n2(hs, *unbin_mixture(cfg, st.pos, st.occ),
+                                     cfg.box_length)
+    assert not bool(ov0)
+    st2, m = run_sweeps_mixture(cfg, hs, st, 15)
+    _, ov = total_energy_mixture_n2(hs, *unbin_mixture(cfg, st2.pos, st2.occ),
+                                    cfg.box_length)
+    assert not bool(ov)
+    ratio = float(m.accepted.sum()) / float(m.proposed.sum())
+    assert 0.2 < ratio <= 1.0
+
+
+def test_pallas_mixture_anchor_interpret():
+    """The Pallas kernel's species-resolved path (species plane ``dim``,
+    per-pair params in-kernel) anchors exactly, interpret mode."""
+    from mcjax.ops.pallas_sweep import run_sweeps_pallas
+
+    ka = kob_andersen()
+    cfg = ka_cfg(n_moves=4)
+    r = cells.stratified_positions(cfg)
+    spec = (jax.random.uniform(jax.random.PRNGKey(2),
+                               (cfg.n_atoms,)) < 0.2).astype(jnp.int32)
+    st = init_mixture_state(cfg, r, spec)
+    e0, _ = total_energy_mixture_n2(ka, *unbin_mixture(cfg, st.pos, st.occ),
+                                    cfg.box_length)
+    st2, m = run_sweeps_pallas(cfg, ka, st, 10, 8, 128, True, False, 1)
+    e_tr = float(e0) + float(jnp.sum(m.delta_e))
+    r2, s2 = unbin_mixture(cfg, st2.pos, st2.occ)
+    e_ex, _ = total_energy_mixture_n2(ka, r2, s2, cfg.box_length)
+    assert abs(e_tr - float(e_ex)) < 1e-2 * max(1.0, abs(float(e_ex)))
+    assert int(s2.sum()) == int(spec.sum())
+
+
+def test_pallas_nonadditive_hard_mixture_interpret():
+    from mcjax.ops.pallas_sweep import run_sweeps_pallas
+
+    hs = HardSphereMixture(diameter=((1.0, 0.6), (0.6, 0.5)))
+    cfg = ka_cfg(dim=2, n_atoms=60, box_length=12.0, cells_per_side=8,
+                 nmax=8, n_moves=4, step_size=0.2, proposal="uniform")
+    r = cells.stratified_positions(cfg)
+    spec = (jnp.arange(cfg.n_atoms) % 5 == 0).astype(jnp.int32)
+    st = init_mixture_state(cfg, r, spec)
+    st2, m = run_sweeps_pallas(cfg, hs, st, 10, 8, 128, True, False, 1)
+    _, ov = total_energy_mixture_n2(
+        hs, *unbin_mixture(cfg, st2.pos, st2.occ), cfg.box_length)
+    assert not bool(ov)

@@ -34,13 +34,18 @@ def test_pallas_shift_bitwise_vs_xla(dim):
     cfg = hd_cfg(dim=dim, n=48 if dim == 2 else 40, cps=8 if dim == 2 else 4)
     st = init_state(cfg, seed=1)
     w = cfg.cell_width
+    # jit with traced (axis, d): eager interpret-mode pallas re-traces the
+    # whole interpreter per call (~50 s each on a 1-core box); one jit cache
+    # entry serves every combo below
+    shift_xla = jax.jit(lambda p, o, a, d: cells.shift_rebin(cfg, p, o, a, d))
+    shift_pl = jax.jit(lambda p, o, a, d: pallas_shift_rebin(
+        cfg, p, o, a, d, interpret=True))
     for axis in range(dim):
         for d in (0.31 * w, -0.27 * w, 0.5 * w, -0.49 * w):
-            a_pos, a_occ, a_ovf = cells.shift_rebin(
-                cfg, st.pos, st.occ, jnp.int32(axis), jnp.float32(d))
-            b_pos, b_occ, b_ovf = pallas_shift_rebin(
-                cfg, st.pos, st.occ, jnp.int32(axis), jnp.float32(d),
-                interpret=True)
+            a_pos, a_occ, a_ovf = shift_xla(
+                st.pos, st.occ, jnp.int32(axis), jnp.float32(d))
+            b_pos, b_occ, b_ovf = shift_pl(
+                st.pos, st.occ, jnp.int32(axis), jnp.float32(d))
             np.testing.assert_array_equal(np.asarray(a_occ),
                                           np.asarray(b_occ))
             np.testing.assert_array_equal(np.asarray(a_pos),
