@@ -461,8 +461,15 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
     dim = cfg.dim
     n_planes = pos.shape[1]          # dim, + any attribute planes (mixtures)
     bs_grid = occ.shape[1:]
-    use_flat = (bs_grid[-1] % 128 != 0 and block_offset is None
-                and shift_fn is roll_shift_fn)
+    # rank < dim means the caller carries the state flat (run_sweeps_pallas)
+    # and MUST take the flat branch — divisibility is not a flat marker (a
+    # flat P can be a lane multiple: 2D 320x320 -> P=102400). For packed
+    # input, go flat only when lane padding is heavy (>= 1.5x physical
+    # blowup: all 3D grids; mildly-padded 2D grids keep the packed merge).
+    pad = -(-bs_grid[-1] // 128) * 128 / bs_grid[-1]
+    is_flat_input = len(bs_grid) < cfg.dim
+    use_flat = ((is_flat_input or pad >= 1.5)
+                and block_offset is None and shift_fn is roll_shift_fn)
     if use_flat:
         return _shift_rebin_axis_flat(cfg, axis, pos, occ, d)
     # Shift all coordinates: x_axis -> wrap(x_axis - d). Attribute planes

@@ -53,6 +53,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _lane_pad_ratio(trailing: int) -> float:
+    """XLA pads the minor axis to 128 lanes; ratio of physical to logical."""
+    return _round_up(trailing, 128) / trailing
+
+
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None, neighbor_unroll: int = 1):
     """Build the kernel body (closure over static config/potential).
@@ -284,8 +289,13 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     # cells (~85% of sweep time; XLA pads (21,21,21) to 128 lanes), while the
     # flat builder's full-lane rolls + edge selects produce identical values
     # ~10x cheaper. Sharded runs keep the packed halo path.
-    use_flat = (bs[-1] % 128 != 0 and block_offset is None
-                and shift_fn is roll_shift_fn)
+    # already-flat input (run_sweeps_pallas carries state flat): rank < dim.
+    # For packed input, go flat only when the lane padding is heavy (3D:
+    # 21 -> 128 is 6x); for mild padding (2D 320 -> 384) the packed rolls
+    # are cheaper than flat's roll+wrap-select pairs.
+    is_flat_input = len(bs) < cfg.dim
+    use_flat = ((is_flat_input or _lane_pad_ratio(bs[-1]) >= 1.5)
+                and block_offset is None and shift_fn is roll_shift_fn)
     # mixtures carry the species id as plane ``dim`` (mcjax.ops.mixture)
     n_planes = pos.shape[1]
     if use_flat:
@@ -464,7 +474,8 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
     # per-substep pack<->flat relayouts and runs the per-color state update
     # on the compact layout instead of the ~6x-padded one. Pack<->flat
     # happens once per run_sweeps call.
-    flat_state = cfg.block_shape[-1] % 128 != 0 and not pallas_shift
+    flat_state = (_lane_pad_ratio(cfg.block_shape[-1]) >= 1.5
+                  and not pallas_shift)
     pos_shape, occ_shape = state.pos.shape, state.occ.shape
     if flat_state:
         P = cfg.cells_per_color

@@ -51,3 +51,27 @@ def test_pallas_lj_3d_matches_xla():
         np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
                                    atol=1e-5)
         np.testing.assert_allclose(float(a[1]), float(b[1]), atol=1e-3)
+
+
+def test_pallas_flat_carry_lane_multiple_grid():
+    """Regression: when run_sweeps_pallas carries the state flat and P is a
+    lane multiple (2D 16x16 -> P=256), the substep/shift must still detect
+    flat input by RANK, not divisibility (the 1M 2D headline hits this with
+    P=102400)."""
+    from mcjax.ops.pallas_sweep import run_sweeps_pallas
+    from mcjax.ops.sweep import run_sweeps
+
+    n = 200
+    box = math.sqrt(n * math.pi / 4 / 0.35)
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=32,
+                    nmax=4, n_moves=2, proposal="uniform", step_size=0.08,
+                    beta=1.0)
+    assert (cfg.cells_per_color % 128) == 0          # the trap this pins
+    hs = HardSphere(box / 64.0)                      # diameter < cell width
+    st = init_state(cfg, seed=3)
+    a, ma = run_sweeps(cfg, hs, st, 3)
+    b, mb = run_sweeps_pallas(cfg, hs, st, 3, 8, 128, True, False)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.occ), np.asarray(b.occ))
+    np.testing.assert_array_equal(np.asarray(ma.accepted),
+                                  np.asarray(mb.accepted))
