@@ -190,6 +190,57 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
           file=sys.stderr)
 
 
+def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
+               tile_rows: int) -> None:
+    """Kob-Andersen 80:20 binary LJ mixture at rho=1.2, T=0.8 (the canonical
+    glass former) at production N on the Pallas mixture kernel — per-pair
+    (eps, sigma, r_cut) resolved in-kernel from the species plane. The
+    reference has no mixtures at all."""
+    from mcjax.core.config import SimConfig
+    from mcjax.models.mixtures import kob_andersen
+    from mcjax.ops.cells import stratified_positions
+    from mcjax.ops.mixture import init_mixture_state
+    from mcjax.ops.pallas_sweep import run_sweeps_pallas
+
+    ka = kob_andersen()
+    rho = 1.2
+    box = (n_atoms / rho) ** (1.0 / 3.0)
+    cps = int(box // ka.r_cut)
+    cps -= cps % 2
+    cfg = SimConfig(dim=3, n_atoms=n_atoms, box_length=box,
+                    cells_per_side=cps, nmax=nmax, n_moves=n_moves,
+                    proposal="gaussian", step_size=0.09, beta=1.0 / 0.8,
+                    seed=0)
+    cfg.validate_against(ka.r_cut)
+    spec = (jnp.arange(n_atoms) % 5 == 4).astype(jnp.int32)
+    state = init_mixture_state(cfg, stratified_positions(cfg), spec)
+
+    st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
+                              False, False, 2)
+    _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
+    t0 = time.perf_counter()
+    st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
+                               False, False, 2)
+    _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
+    dt = time.perf_counter() - t0
+
+    import numpy as np
+    proposed = int(np.sum(np.asarray(m.proposed, np.int64)))
+    accepted = int(np.sum(np.asarray(m.accepted, np.int64)))
+    moves_per_s = proposed / dt
+    print(json.dumps({
+        "metric": "Kob-Andersen 80:20 mixture trial moves/sec/chip "
+                  "(N=%d, rho=1.2, T=0.8, pallas)" % cfg.n_atoms,
+        "value": moves_per_s,
+        "unit": "moves/s",
+        "vs_baseline": moves_per_s / REFERENCE_MOVES_PER_S,
+    }))
+    print(f"# {sweeps} sweeps in {dt:.3f}s; acceptance "
+          f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "
+          f"overflow {bool(st2.overflow)}; cps {cps}; nmax {nmax}; "
+          f"tile_rows {tile_rows}", file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_048_576)
@@ -211,7 +262,7 @@ def main() -> None:
     ap.add_argument("--engine", choices=["auto", "xla", "pallas"],
                     default="auto")
     ap.add_argument("--workload", choices=["hard-disk", "reference-lj",
-                                           "lj3d"],
+                                           "lj3d", "ka3d"],
                     default="hard-disk")
     ap.add_argument("--tile-rows", type=int, default=0)
     ap.add_argument("--neighbor-unroll", type=int, default=2)
@@ -227,6 +278,11 @@ def main() -> None:
         bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
                    args.nmax or 24,
                    args.tile_rows, args.neighbor_unroll, args.pallas_shift)
+        return
+    if args.workload == "ka3d":
+        n = args.n if args.n != 1_048_576 else 1_000_000
+        bench_ka3d(n, min(args.sweeps, 30), args.moves or 30,
+                   args.nmax or 38, args.tile_rows)
         return
     if args.moves is None:
         args.moves = 64
