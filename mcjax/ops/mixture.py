@@ -201,6 +201,72 @@ def total_interaction_cells_mixture(cfg: SimConfig, pot, pos: jax.Array,
     return total, any_ov
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def partial_rdf_cells(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
+                      n_bins: int, r_max: float, pair: tuple[int, int]
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Species-resolved partial g_ab(r) from the cell-list mixture state —
+    the standard Kob-Andersen structure analysis (g_AA, g_AB, g_BB), at
+    O(N x neighborhood) so it runs at the 1M-atom flagship scale.
+
+    Convention: g_ab(r) = V/(N_a N_b) <sum_{i in a} sum_{j in b, j != i}
+    delta(r - r_ij)> / shell(r). Requires r_max <= cell_width (one-ring
+    coverage), like utils.observables.radial_distribution_cells.
+    """
+    import math as _m
+
+    if r_max > cfg.cell_width + 1e-9:
+        raise ValueError(
+            f"r_max {r_max} > cell_width {cfg.cell_width}: one-ring coverage "
+            "is incomplete beyond one cell width")
+    a, b = pair
+    nmax, dim = cfg.nmax, cfg.dim
+    dr = r_max / n_bins
+    counts = jnp.zeros((n_bins,), jnp.float32)
+
+    def add_pairs(counts, r2, valid):
+        r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        inside = valid & (r2 > 1e-12) & (r < r_max)
+        bins = jnp.floor(r / dr).astype(jnp.int32)
+        return counts.at[bins.ravel()].add(
+            jnp.where(inside, 1.0, 0.0).ravel(), mode="drop")
+
+    n_a = jnp.float32(0.0)
+    n_b = jnp.float32(0.0)
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        ownp, ownspec = own[:dim], own[dim]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        is_a = valid_i & (ownspec == float(a))
+        n_a = n_a + jnp.sum(is_a)
+        n_b = n_b + jnp.sum(valid_i & (ownspec == float(b)))
+        # intra-cell ordered pairs (center in a, other in b)
+        d = min_image(ownp[:, :, None] - ownp[:, None, :], cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        vv = (is_a[:, None] & valid_i[None, :] & (ownspec[None] == float(b))
+              & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
+                 ).reshape((nmax, nmax) + (1,) * len(bs)))
+        counts = add_pairs(counts, r2, vv)
+        # cross-cell (neighbor planes pre-unwrapped: raw differences minimal)
+        nbr_all, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color)
+        nbrp, nbrspec = nbr_all[:, :dim], nbr_all[:, dim]
+        valid_j = (slot[None] < nbr_occ[:, None]) & (nbrspec == float(b))
+        dx = ownp[None, :, :, None] - nbrp[:, :, None, :]
+        r2x = jnp.sum(dx * dx, axis=1)
+        vx = is_a[None, :, None] & valid_j[:, None, :]
+        counts = add_pairs(counts, r2x, vx)
+
+    centers = (jnp.arange(n_bins) + 0.5) * dr
+    rho_b = n_b / cfg.box_length**dim
+    shell = (2.0 * _m.pi * centers * dr if dim == 2
+             else 4.0 * _m.pi * centers**2 * dr)
+    ideal = jnp.maximum(n_a * rho_b * shell, 1e-12)
+    return centers, counts / ideal
+
+
 def total_energy_mixture_n2(pot, positions: np.ndarray | jax.Array,
                             species, box_length: float
                             ) -> tuple[jax.Array, jax.Array]:

@@ -191,3 +191,35 @@ def test_pallas_nonadditive_hard_mixture_interpret():
     _, ov = total_energy_mixture_n2(
         hs, *unbin_mixture(cfg, st2.pos, st2.occ), cfg.box_length)
     assert not bool(ov)
+
+
+def test_partial_rdf_cells_matches_n2():
+    """g_AA/g_AB/g_BB from cell lists == brute-force O(N^2) partials."""
+    from mcjax.core.geometry import min_image
+    from mcjax.ops.mixture import partial_rdf_cells
+
+    cfg = ka_cfg(n_atoms=120, nmax=14)
+    r, spec = random_mixture(cfg, frac_b=0.3, seed=4)
+    st = init_mixture_state(cfg, r, spec)
+    rr, ss = unbin_mixture(cfg, st.pos, st.occ)
+    rr, ss = np.asarray(rr), np.asarray(ss)
+    n_bins, r_max = 16, cfg.cell_width
+
+    d = np.asarray(min_image(jnp.asarray(rr[:, None] - rr[None, :]),
+                             cfg.box_length))
+    dist = np.sqrt((d ** 2).sum(-1))
+    V = cfg.box_length ** cfg.dim
+    dr = r_max / n_bins
+    for (a, b) in ((0, 0), (0, 1), (1, 1)):
+        cents, g = partial_rdf_cells(cfg, st.pos, st.occ, n_bins, r_max,
+                                     (a, b))
+        mask = (ss[:, None] == a) & (ss[None, :] == b)
+        np.fill_diagonal(mask, False)
+        sel = dist[mask]
+        counts = np.histogram(sel[sel < r_max], bins=n_bins,
+                              range=(0, r_max))[0]
+        n_a, n_b = (ss == a).sum(), (ss == b).sum()
+        shell = 4 * np.pi * np.asarray(cents) ** 2 * dr
+        expect = counts / np.maximum(n_a * (n_b / V) * shell, 1e-12)
+        np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-4,
+                                   atol=1e-6)
