@@ -58,6 +58,17 @@ def main():
           f"species conserved: {int(s_after.sum()) == int(spec.sum())}, "
           f"overflow {bool(st.overflow)}")
 
+    # species-resolved structure: once equilibrated (a few hundred sweeps),
+    # the first-peak positions track the pair sigmas (AA ~1.0, AB ~0.9,
+    # BB ~1.0); at short runs they still reflect the stratified init raster
+    from mcjax.ops.mixture import partial_rdf_cells
+    for pair, name in (((0, 0), "AA"), ((0, 1), "AB"), ((1, 1), "BB")):
+        r_bins, g = partial_rdf_cells(cfg, st.pos, st.occ, 40,
+                                      min(2.5, cfg.cell_width), pair)
+        k = int(jnp.argmax(g))
+        print(f"g_{name}: first peak {float(g[k]):.2f} "
+              f"at r = {float(r_bins[k]):.3f}")
+
 
 if __name__ == "__main__":
     main()
