@@ -22,6 +22,14 @@ import dataclasses
 import jax.numpy as jnp
 
 
+def _as_table(table):
+    """Coerce a nested sequence to a nested tuple of floats.
+
+    JSON round-trips tuples as lists; a reconstructed mixture must coerce
+    them back or the dataclass is unhashable (breaks static-jit-arg use)."""
+    return tuple(tuple(float(v) for v in row) for row in table)
+
+
 def _sym(table):
     """Validate a nested-tuple [S][S] table is square and symmetric."""
     s = len(table)
@@ -34,6 +42,23 @@ def _sym(table):
                 raise ValueError(f"species table must be symmetric, "
                                  f"got {table}")
     return s
+
+
+def _poly3(f0: float, f1: float, f2: float) -> tuple[float, float, float]:
+    """Quadratic through (0,f0), (1,f1), (2,f2) — Lagrange coefficients.
+
+    For a BINARY mixture the unordered species pair is uniquely determined
+    by u = s_i + s_j in {0, 1, 2} (AA, AB, BB), so any per-pair parameter
+    table collapses to a quadratic in u: the kernel then pays ONE pair
+    evaluation on blended coefficients instead of S(S+1)/2 masked
+    evaluations (VERDICT r2 item 3 — 3 reciprocal chains -> 1 on the KA
+    hot path). Coefficients are Python floats folded into the jaxpr.
+    """
+    return (f0, -1.5 * f0 + 2.0 * f1 - 0.5 * f2, 0.5 * f0 - f1 + 0.5 * f2)
+
+
+def _blend(c: tuple[float, float, float], u, u2):
+    return c[0] + c[1] * u + c[2] * u2
 
 
 def _pair_mask(si, sj, a: int, b: int):
@@ -61,6 +86,10 @@ class LJMixture:
     is_mixture: bool = dataclasses.field(default=True, init=False)
 
     def __post_init__(self):
+        # coerce JSON-round-tripped lists back to hashable nested tuples
+        object.__setattr__(self, "epsilon", _as_table(self.epsilon))
+        object.__setattr__(self, "sigma", _as_table(self.sigma))
+        object.__setattr__(self, "r_cut_table", _as_table(self.r_cut_table))
         s = _sym(self.epsilon)
         if _sym(self.sigma) != s or _sym(self.r_cut_table) != s:
             raise ValueError("species tables disagree on S")
@@ -86,7 +115,37 @@ class LJMixture:
             e = e - 4.0 * eps * (s6 * s6 - s6)
         return jnp.where(r2 <= rc * rc, e, 0.0)
 
-    def _energy_s(self, r2, si, sj, inv_fn=None):
+    def _binary_coeffs(self):
+        """Quadratic-in-(s_i+s_j) coefficients for (4*eps, sigma^2, rc^2,
+        shift constant) — see _poly3."""
+        def tab(t):
+            return float(t[0][0]), float(t[0][1]), float(t[1][1])
+
+        eps, sig, rc = tab(self.epsilon), tab(self.sigma), tab(self.r_cut_table)
+
+        def sh(e, s, c):
+            s6 = (s / c) ** 6
+            return 4.0 * e * (s6 * s6 - s6)
+
+        return (_poly3(*(4.0 * e for e in eps)),
+                _poly3(*(s * s for s in sig)),
+                _poly3(*(c * c for c in rc)),
+                _poly3(*(sh(e, s, c) for e, s, c in zip(eps, sig, rc))))
+
+    def _energy_binary(self, r2, si, sj, inv_fn=None):
+        """One LJ evaluation on u-blended per-pair coefficients (S == 2)."""
+        ce4, cs2, crc2, csh = self._binary_coeffs()
+        u = si + sj
+        u2 = u * u
+        inv = inv_fn(r2) if inv_fn is not None else 1.0 / jnp.maximum(r2, 1e-12)
+        inv2 = _blend(cs2, u, u2) * inv
+        inv6 = inv2 * inv2 * inv2
+        e = _blend(ce4, u, u2) * (inv6 * inv6 - inv6)
+        if self.shift:
+            e = e - _blend(csh, u, u2)
+        return jnp.where(r2 <= _blend(crc2, u, u2), e, 0.0)
+
+    def _energy_masked(self, r2, si, sj, inv_fn=None):
         e = jnp.zeros(jnp.broadcast_shapes(r2.shape, si.shape, sj.shape),
                       jnp.float32)
         s = self.n_species
@@ -98,6 +157,11 @@ class LJMixture:
                                self.r_cut_table[a][b], inv_fn),
                     0.0)
         return e
+
+    def _energy_s(self, r2, si, sj, inv_fn=None):
+        if self.n_species == 2:
+            return self._energy_binary(r2, si, sj, inv_fn)
+        return self._energy_masked(r2, si, sj, inv_fn)
 
     def pair_energy_s(self, r2, si, sj):
         return self._energy_s(r2, si, sj)
@@ -127,6 +191,7 @@ class HardSphereMixture:
     is_mixture: bool = dataclasses.field(default=True, init=False)
 
     def __post_init__(self):
+        object.__setattr__(self, "diameter", _as_table(self.diameter))
         _sym(self.diameter)
 
     @property
@@ -142,14 +207,28 @@ class HardSphereMixture:
                          jnp.float32)
 
     def overlap_s(self, r2, si, sj):
+        s = self.n_species
+        if s == 2:
+            # one compare on the u-blended d^2 instead of 3 masked compares
+            d = (float(self.diameter[0][0]), float(self.diameter[0][1]),
+                 float(self.diameter[1][1]))
+            u = si + sj
+            return r2 < _blend(_poly3(*(x * x for x in d)), u, u * u)
         ov = jnp.zeros(jnp.broadcast_shapes(r2.shape, si.shape, sj.shape),
                        jnp.bool_)
-        s = self.n_species
         for a in range(s):
             for b in range(a, s):
                 dab = self.diameter[a][b]
                 ov = ov | (_pair_mask(si, sj, a, b) & (r2 < dab * dab))
         return ov
+
+
+# checkpointable like every single-species model (ADVICE r2: an unregistered
+# mixture made a long KA run's checkpoint unrecoverable)
+from mcjax.models.potentials import _register  # noqa: E402
+
+_register(LJMixture)
+_register(HardSphereMixture)
 
 
 def kob_andersen(shift: bool = True) -> LJMixture:

@@ -264,6 +264,7 @@ def potential_to_dict(pot: Potential) -> dict:
 
 def potential_from_dict(d: dict) -> Potential:
     """Inverse of potential_to_dict."""
+    from mcjax.models import mixtures  # noqa: F401  (registers mixture kinds)
     try:
         cls = _POTENTIAL_REGISTRY[d["kind"]]
     except KeyError:

@@ -112,7 +112,8 @@ def lattice_positions(cfg: SimConfig) -> jax.Array:
     return jnp.asarray(np.stack(coords, axis=-1), jnp.float32)
 
 
-def stratified_positions(cfg: SimConfig) -> jax.Array:
+def stratified_positions(cfg: SimConfig,
+                         min_separation: float | None = None) -> jax.Array:
     """Cell-stratified initial configuration: every cell gets
     floor(N/cells) or ceil(N/cells) atoms, placed on a small sub-grid
     inside the cell.
@@ -129,6 +130,11 @@ def stratified_positions(cfg: SimConfig) -> jax.Array:
 
     The ceil-count cells are spread evenly through the (row-major) cell
     order so there is no density gradient across the box.
+
+    ``min_separation``: for hard-core models pass the largest contact
+    distance — the nearest cross-cell spacing is w/m (m = sub-grid side),
+    and an overlapping start would silently violate the never-overlapping
+    invariant downstream (ADVICE r2); raises if w/m <= min_separation.
     """
     dim, n = cfg.dim, cfg.n_atoms
     cps = cfg.cells_per_side
@@ -143,6 +149,11 @@ def stratified_positions(cfg: SimConfig) -> jax.Array:
         counts[np.round(np.linspace(0, n_cells - 1, rem)).astype(int)] += 1
     m = int(np.ceil((base + (1 if rem else 0)) ** (1.0 / dim) - 1e-9))
     m = max(m, 1)
+    if min_separation is not None and w / m <= min_separation:
+        raise ValueError(
+            f"stratified sub-grid spacing w/m = {w / m:.4f} <= "
+            f"min_separation {min_separation}: hard-core start would "
+            "overlap; lower the density or use a close-packed initializer")
     # first `count` points of the per-cell m^dim raster, centered in sub-cells
     sub = np.stack(np.meshgrid(*([np.arange(m)] * dim), indexing="ij"),
                    axis=-1).reshape(-1, dim)  # [m^dim, dim]

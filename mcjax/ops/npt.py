@@ -63,10 +63,21 @@ def init_npt(state: SimState) -> NPTState:
 
 def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
               pressure: float, dlnv_max: float = 0.02,
-              beta: jax.Array | float | None = None
+              beta: jax.Array | float | None = None,
+              u_old: jax.Array | None = None,
+              do_volume: jax.Array | bool = True
               ) -> tuple[NPTState, NPTMetrics]:
     """One NPT MC sweep: a full particle sweep at fixed volume, then one
-    ln-V volume move."""
+    ln-V volume move.
+
+    ``u_old``: the carried total energy at the current scale (the dE-trace
+    trick, reference kernel.cu:672-680) — passing it makes the volume move
+    cost ONE cell-list energy pass (at the proposed scale) instead of two
+    (VERDICT r2 item 7); the particle sweep's accumulated dE updates it for
+    free. None falls back to an exact pass at the current scale.
+    ``do_volume`` (traced bool): skip the volume move (and its energy pass)
+    entirely this sweep — see run_npt's ``volume_every``.
+    """
     if beta is None:
         beta = cfg.beta
     dim, n = cfg.dim, cfg.n_atoms
@@ -75,6 +86,12 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
     s = jnp.exp(nst.log_scale)
     sim, m = mc_sweep(cfg, pot, nst.sim, scale=s)
 
+    if u_old is None:
+        u_cur, _ = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
+                                           scale=s)
+    else:
+        u_cur = u_old + m.delta_e
+
     # volume-move randomness: a stream disjoint from mc_sweep's
     # fold_in(key, sweep) tree (negative tags never collide with sweep >= 0)
     kv = jax.random.fold_in(sim.key, -(sim.sweep + 1))
@@ -82,37 +99,66 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
     dlnv = jax.random.uniform(k_prop, (), minval=-dlnv_max, maxval=dlnv_max)
     s_new = s * jnp.exp(dlnv / dim)
 
-    u_old, _ = total_interaction_cells(cfg, pot, sim.pos, sim.occ, scale=s)
-    u_new, ov_new = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
-                                            scale=s_new)
-    v_old = (s * l0) ** dim
-    v_new = (s_new * l0) ** dim
-    ln_acc = (-beta * (u_new - u_old) - beta * pressure * (v_new - v_old)
-              + (n + 1) * dlnv)
-    # one-ring coverage contract: physical cell width must stay >= r_cut
-    ok_geom = s_new * cfg.cell_width >= pot.r_cut
-    u = jax.random.uniform(k_acc, (), minval=1e-38, maxval=1.0)
-    accept = ok_geom & ~ov_new & (jnp.log(u) < ln_acc)
+    def volume_move():
+        u_new, ov_new = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
+                                                scale=s_new)
+        v_old = (s * l0) ** dim
+        v_new = (s_new * l0) ** dim
+        ln_acc = (-beta * (u_new - u_cur)
+                  - beta * pressure * (v_new - v_old) + (n + 1) * dlnv)
+        # one-ring coverage contract: physical cell width must stay >= r_cut
+        ok_geom = s_new * cfg.cell_width >= pot.r_cut
+        u = jax.random.uniform(k_acc, (), minval=1e-38, maxval=1.0)
+        accept = ok_geom & ~ov_new & (jnp.log(u) < ln_acc)
+        log_scale = jnp.where(accept, nst.log_scale + dlnv / dim,
+                              nst.log_scale)
+        return log_scale, jnp.where(accept, u_new, u_cur), accept
 
-    log_scale = jnp.where(accept, nst.log_scale + dlnv / dim, nst.log_scale)
+    log_scale, energy, accepted = jax.lax.cond(
+        jnp.asarray(do_volume),
+        volume_move,
+        lambda: (nst.log_scale, u_cur, jnp.zeros((), jnp.bool_)))
     s_fin = jnp.exp(log_scale)
     metrics = NPTMetrics(
         sweep=m,
-        vol_accepted=accept,
+        vol_accepted=accepted,
         volume=(s_fin * l0) ** dim,
-        energy=jnp.where(accept, u_new, u_old),
+        energy=energy,
     )
     return NPTState(sim=sim, log_scale=log_scale), metrics
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
 def run_npt(cfg: SimConfig, pot: Potential, nst: NPTState, pressure: float,
-            n_sweeps: int, dlnv_max: float = 0.02
+            n_sweeps: int, dlnv_max: float = 0.02,
+            volume_every: int = 1, anchor_every: int = 0
             ) -> tuple[NPTState, NPTMetrics]:
-    """n_sweeps NPT sweeps as one scan; metrics stacked per sweep."""
+    """n_sweeps NPT sweeps as one scan; metrics stacked per sweep.
 
-    def body(st, _):
-        st, m = npt_sweep(cfg, pot, st, pressure, dlnv_max)
-        return st, m
+    The total energy is anchored exactly ONCE before the scan, then carried
+    through it by the accumulated particle-sweep dE — one cell-list energy
+    pass per attempted volume move instead of two (the reference's own
+    trace trick, kernel.cu:672-680). ``volume_every=k`` attempts the volume
+    move every k-th sweep (halving fixed cost again at flagship N);
+    ``anchor_every=k`` re-anchors the carried energy exactly every k sweeps
+    (fp32 dE drift guard — SURVEY.md Q9; 0 = only the initial anchor).
+    """
+    u0, _ = total_interaction_cells(cfg, pot, nst.sim.pos, nst.sim.occ,
+                                    scale=nst.scale)
 
-    return jax.lax.scan(body, nst, length=n_sweeps)
+    def body(carry, _):
+        st, u = carry
+        if anchor_every:
+            u = jax.lax.cond(
+                st.sim.sweep % anchor_every == 0,
+                lambda: total_interaction_cells(
+                    cfg, pot, st.sim.pos, st.sim.occ,
+                    scale=jnp.exp(st.log_scale))[0],
+                lambda: u)
+        do_vol = (st.sim.sweep + 1) % volume_every == 0
+        st, mtr = npt_sweep(cfg, pot, st, pressure, dlnv_max, u_old=u,
+                            do_volume=do_vol)
+        return (st, mtr.energy), mtr
+
+    (nst, _), ms = jax.lax.scan(body, (nst, u0), length=n_sweeps)
+    return nst, ms

@@ -78,3 +78,44 @@ def test_npt_volume_moves_conserve_particles_and_cells():
     assert float(jnp.abs(st.log_scale)) > 0
     # physical cell width never dipped below the cutoff
     assert float(jnp.min(jnp.exp(st.log_scale))) * cfg.cell_width >= 1.0
+
+
+def test_npt_carried_energy_matches_exact():
+    """run_npt carries the total energy by accumulated dE (one energy pass
+    per volume move, VERDICT r2 item 7); the carried value must track an
+    exact cell-list recompute."""
+    from mcjax.ops.sweep import total_interaction_cells
+
+    cfg = SimConfig(dim=2, n_atoms=48, box_length=12.0, cells_per_side=4,
+                    nmax=10, n_moves=3, proposal="gaussian", step_size=0.15,
+                    beta=0.8)
+    pot = LennardJones(r_cut=2.5, shift=True)
+    st = npt.init_npt(init_state(cfg, seed=2))
+    st, m = npt.run_npt(cfg, pot, st, 0.5, 120, 0.03)
+    u_exact = float(total_interaction_cells(cfg, pot, st.sim.pos, st.sim.occ,
+                                            scale=st.scale)[0])
+    u_carried = float(m.energy[-1])
+    assert abs(u_carried - u_exact) <= 1e-3 * max(1.0, abs(u_exact)), (
+        u_carried, u_exact)
+    # re-anchoring keeps it at least as tight
+    st2 = npt.init_npt(init_state(cfg, seed=2))
+    st2, m2 = npt.run_npt(cfg, pot, st2, 0.5, 120, 0.03, 1, 16)
+    u2 = float(total_interaction_cells(cfg, pot, st2.sim.pos, st2.sim.occ,
+                                       scale=st2.scale)[0])
+    assert abs(float(m2.energy[-1]) - u2) <= 1e-3 * max(1.0, abs(u2))
+
+
+def test_npt_volume_every_schedule():
+    """volume_every=k attempts (and pays the energy pass for) a volume move
+    only every k-th sweep."""
+    cfg = SimConfig(dim=2, n_atoms=64, box_length=16.0, cells_per_side=8,
+                    nmax=6, n_moves=2, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = npt.init_npt(init_state(cfg))
+    st, m = npt.run_npt(cfg, hs, st, 0.5, 40, 0.05, 4)
+    acc = np.asarray(m.vol_accepted)
+    off_schedule = [i for i in range(40) if (i + 1) % 4 != 0]
+    assert not acc[off_schedule].any()
+    assert acc[[i for i in range(40) if (i + 1) % 4 == 0]].any()
+    assert int(jnp.sum(st.sim.occ)) == cfg.n_atoms

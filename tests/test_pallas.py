@@ -39,6 +39,15 @@ def test_pallas_hard_disks_bitwise_vs_xla():
 
 @pytest.mark.slow
 def test_pallas_lj_3d_matches_xla():
+    """Seed-pinned (NOT deterministic-by-construction) engine agreement.
+
+    The Pallas energetic path differs from XLA at the ulp level
+    (Newton-refined reciprocal, split accumulators), so a dE landing exactly
+    on an acceptance threshold could flip a decision and diverge the
+    trajectories. At this pinned (seed, config) no proposal sits near a
+    threshold; treat any future failure here as a tolerance/seed issue
+    first (the deterministic gate is the hard-core bitwise test above, and
+    the statistical gate is the dE-anchor tests in test_sweep.py)."""
     cfg = SimConfig(dim=3, n_atoms=27, box_length=8.0, cells_per_side=4,
                     nmax=4, n_moves=2, beta=0.3, step_size=0.4)
     lj = LennardJones(r_cut=2.0)
