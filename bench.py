@@ -138,7 +138,7 @@ def sharded_pallas_check() -> None:
 
 def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, neighbor_unroll: int,
-               pallas_shift: bool = False) -> None:
+               pallas_shift: bool = False, slot_group: int = 8) -> None:
     """3D Lennard-Jones at the reference's own density (rho = 0.8,
     kernel.cu:17-29: 800 atoms in a 10^3 box) scaled to production N —
     the reference's physics, not just the 2D hard-disk headline
@@ -164,11 +164,13 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     state = init_state(cfg, positions=stratified_positions(cfg))
 
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
-                              False, pallas_shift, neighbor_unroll)
+                              False, pallas_shift, neighbor_unroll,
+                              slot_group)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, pot, st, sweeps, tile_rows, 128,
-                               False, pallas_shift, neighbor_unroll)
+                               False, pallas_shift, neighbor_unroll,
+                               slot_group)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -191,7 +193,7 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
 
 def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
-               tile_rows: int) -> None:
+               tile_rows: int, slot_group: int = 8) -> None:
     """Kob-Andersen 80:20 binary LJ mixture at rho=1.2, T=0.8 (the canonical
     glass former) at production N on the Pallas mixture kernel — per-pair
     (eps, sigma, r_cut) resolved in-kernel from the species plane. The
@@ -216,11 +218,11 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     state = init_mixture_state(cfg, stratified_positions(cfg), spec)
 
     st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
-                              False, False, 2)
+                              False, False, 2, slot_group)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
-                               False, False, 2)
+                               False, False, 2, slot_group)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -266,6 +268,8 @@ def main() -> None:
                     default="hard-disk")
     ap.add_argument("--tile-rows", type=int, default=0)
     ap.add_argument("--neighbor-unroll", type=int, default=2)
+    ap.add_argument("--slot-group", type=int, default=8,
+                    help="pair slots per grouped [G, TR, TC] kernel op")
     ap.add_argument("--pallas-shift", action="store_true",
                     help="use the Pallas grid-shift kernel (wins for 3D "
                          "where the XLA merge runs on lane-hostile tiles)")
@@ -277,12 +281,13 @@ def main() -> None:
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
                    args.nmax or 24,
-                   args.tile_rows, args.neighbor_unroll, args.pallas_shift)
+                   args.tile_rows, args.neighbor_unroll, args.pallas_shift,
+                   args.slot_group)
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_ka3d(n, min(args.sweeps, 30), args.moves or 30,
-                   args.nmax or 38, args.tile_rows)
+                   args.nmax or 38, args.tile_rows, args.slot_group)
         return
     if args.moves is None:
         args.moves = 64

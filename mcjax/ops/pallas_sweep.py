@@ -59,15 +59,26 @@ def _lane_pad_ratio(trailing: int) -> float:
 
 
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
-                 beta_static: float | None, neighbor_unroll: int = 1):
+                 beta_static: float | None, neighbor_unroll: int = 1,
+                 slot_group: int = 8):
     """Build the kernel body (closure over static config/potential).
 
+    ILP design (round 3): pair slots are processed in GROUPS of
+    ``slot_group`` as [G, TR, TC] block ops. A [G, TR, TC] vector op lowers
+    to G back-to-back instructions whose sub-results are independent, so the
+    hardware pipelines G dependency chains at issue rate — where the old
+    one-slot-per-statement form serialized each slot's ~21-op chain
+    (microbench: ~16-25 cyc/slot against a ~0.4-0.7 cyc marginal vector op,
+    docs/PERF.md round 2b). dE/overlap accumulate into [G, TR, TC] lane
+    accumulators (tree-reduced once per move); the moving-particle select
+    and write-back use the same grouped form (masked-sum select — the exact
+    arithmetic of the XLA engine's one-hot sum, sweep.py color_substep).
+
     The neighbor pair loop is fully unrolled for small neighborhoods (2D:
-    8 x nmax iterations — best runtime) but becomes a ``fori_loop`` over the
+    8 cells — best runtime) but becomes a ``fori_loop`` over the
     neighbor-cell index for 3D (26 cells), where a full unroll makes Mosaic
-    compilation take tens of minutes; the per-cell slot loop stays unrolled.
-    ``neighbor_unroll`` partially unrolls the 3D fori_loop (2-4 amortizes
-    the loop's dynamic plane indexing without the full-unroll compile blowup).
+    compilation take tens of minutes; ``neighbor_unroll`` partially unrolls
+    it (grouping already cuts the statement count ~G-fold).
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     w = cfg.cell_width
@@ -76,20 +87,18 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     # full static unroll when asked (neighbor_unroll >= n_k): slower Mosaic
     # compile, but every plane index becomes static
     unroll_neighbors = n_k <= 8 or neighbor_unroll >= n_k
-    # Split the per-slot reductions across independent accumulators so the
-    # VPU's VLIW slots can overlap slots: a single running e_old/e_new chain
-    # serializes one add per pair slot (measured ~0.35 vreg-ops/cycle on the
-    # 3D LJ kernel vs ~1.0 for 2D hard disks). dE is accumulated directly
-    # (e_new - e_old per slot) — one chain's worth of adds instead of two;
-    # for hard-core models the overlap OR-reduction is reassociation-exact,
-    # so the bitwise XLA gate is unaffected.
-    n_lanes_acc = 8
+    G = max(1, min(slot_group, nmax))
+    # slot groups within one cell's nmax slots: [(j0, size), ...]; the tail
+    # group (size < G) gets its own accumulator pair so every grouped op has
+    # a static shape
+    groups = [(j0, min(G, nmax - j0)) for j0 in range(0, nmax, G)]
+    tail = nmax % G
     # Kernel-optimized pair energy where the model provides one (LJ family:
     # Newton-refined approximate reciprocal instead of a serializing exact
     # divide — 2 divides/slot were the largest single cost of the LJ kernel).
     # Mixtures: the species id rides as slab plane ``dim`` (mcjax.ops.mixture)
-    # and pair terms resolve per species pair; costs one extra load per slot
-    # plus the masked per-pair selects inside pair_energy_s.
+    # and pair terms resolve per species pair; binary mixtures blend per-pair
+    # coefficients by u = s_i + s_j (one evaluation — mixtures._poly3).
     mixture = getattr(pot, "is_mixture", False)
     n_planes = dim + (1 if mixture else 0)
     if mixture:
@@ -107,6 +116,20 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
         nonempty = occ > 0
         out_ref[:] = own_ref[:]
         beta = beta_static if beta_static is not None else beta_ref[0, 0]
+        gshape = (G,) + occ.shape
+        # per-group slot index [g, TR, TC] (hoisted: same for every move)
+        giota = jax.lax.broadcasted_iota(jnp.int32, gshape, 0)
+        giota_t = giota[:tail] if tail else None
+
+        def acc_pair(ov_dtype):
+            """Fresh (main, tail) accumulator pairs for one move."""
+            de_p = ((jnp.zeros(gshape, jnp.float32),
+                     jnp.zeros((tail,) + occ.shape, jnp.float32) if tail
+                     else None) if energetic else (None, None))
+            ov_p = ((jnp.zeros(gshape, ov_dtype),
+                     jnp.zeros((tail,) + occ.shape, ov_dtype) if tail
+                     else None) if hard else (None, None))
+            return de_p, ov_p
 
         def move_body(m, carry):
             de_acc, acc_acc = carry
@@ -114,13 +137,19 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             p = jnp.floor(pick * occf).astype(jnp.int32)
             p = jnp.minimum(p, jnp.maximum(occ - 1, 0))
 
-            # select the moving particle's coordinates (one-hot over slots);
-            # for mixtures also its species (plane ``dim``)
+            # select the moving particle's coordinates: grouped masked-sum
+            # over slots (exactly one slot matches p, zeros elsewhere — the
+            # same arithmetic as the XLA engine's one-hot sum); for mixtures
+            # also its species (plane ``dim``)
             old = []
             for d in range(n_planes):
-                v = out_ref[d * nmax]
-                for j in range(1, nmax):
-                    v = jnp.where(p == j, out_ref[d * nmax + j], v)
+                v = None
+                for j0, g in groups:
+                    blk = out_ref[d * nmax + j0:d * nmax + j0 + g]
+                    ji = (giota if g == G else giota_t)
+                    sel = ji == (p - j0)[None]
+                    part = jnp.sum(jnp.where(sel, blk, 0.0), axis=0)
+                    v = part if v is None else v + part
                 old.append(v)
             sx = old[dim] if mixture else None
             old = old[:dim]
@@ -132,60 +161,77 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 lb = lb_ref[d]
                 oob = oob | (new[d] < lb) | (new[d] >= lb + w)
 
-            zero = jnp.zeros_like(old[0])
-            A = n_lanes_acc
-            de_parts = (zero,) * A if energetic else ()
             # Mosaic's scf.for fails to legalize pure-i1 vector carries, so
             # the fori path accumulates overlap as int32 (0/1) instead of bool
             ov_dtype = jnp.bool_ if unroll_neighbors else jnp.int32
-            ov_parts = ((jnp.zeros(occ.shape, ov_dtype),) * A if hard else ())
+            de_parts, ov_parts = acc_pair(ov_dtype)
 
             # No minimum-image arithmetic: neighbor planes are pre-unwrapped
             # across the periodic boundary (cells.neighbor_stack) and own-cell
             # pairs share a cell, so raw differences are already minimal.
-            def accumulate(slot, xs_old, xs_new, valid, de_parts, ov_parts,
+            def accumulate(is_tail, xs_old, xs_new, valid, de_parts, ov_parts,
                            sj=None):
-                a = slot % A
-                r2n = zero
-                for d in range(dim):
+                """One grouped pair evaluation: everything is [g, TR, TC]."""
+                a = 1 if is_tail else 0
+                r2n = xs_new[0] * xs_new[0]
+                for d in range(1, dim):
                     r2n = r2n + xs_new[d] * xs_new[d]
                 if energetic:
-                    r2o = zero
-                    for d in range(dim):
+                    r2o = xs_old[0] * xs_old[0]
+                    for d in range(1, dim):
                         r2o = r2o + xs_old[d] * xs_old[d]
                     if mixture:
-                        term = (pair_s_fn(r2n, sx, sj)
-                                - pair_s_fn(r2o, sx, sj))
+                        term = (pair_s_fn(r2n, sx[None], sj)
+                                - pair_s_fn(r2o, sx[None], sj))
                     else:
                         term = pair_fn(r2n) - pair_fn(r2o)
-                    de_parts = (de_parts[:a]
-                                + (de_parts[a] + jnp.where(valid, term, 0.0),)
-                                + de_parts[a + 1:])
+                    upd = de_parts[a] + jnp.where(valid, term, 0.0)
+                    de_parts = (de_parts[0], upd) if is_tail \
+                        else (upd, de_parts[1])
                 if hard:
-                    ov = (overlap_s_fn(r2n, sx, sj) if mixture
+                    ov = (overlap_s_fn(r2n, sx[None], sj) if mixture
                           else pot.overlap(r2n))
                     term_ov = (valid & ov).astype(ov_dtype)
-                    ov_parts = (ov_parts[:a]
-                                + (ov_parts[a] | term_ov,)
-                                + ov_parts[a + 1:])
+                    upd = ov_parts[a] | term_ov
+                    ov_parts = (ov_parts[0], upd) if is_tail \
+                        else (upd, ov_parts[1])
                 return de_parts, ov_parts
 
             # neighbor-cell pairs (frozen during the sub-sweep); plane order
             # matches the native neighbor_stack layout [K, n_planes, nmax, ...]
             def nbr_cell_pairs(k, de_parts, ov_parts):
                 nocc = nbrocc_ref[k]
-                for j in range(nmax):
-                    valid = j < nocc
+                for j0, g in groups:
+                    is_tail = g != G
+                    ji = giota_t if is_tail else giota
+                    valid = ji < (nocc - j0)[None]
                     xs_old, xs_new = [], []
                     for d in range(dim):
-                        nb = nbr_ref[(k * n_planes + d) * nmax + j]
-                        xs_old.append(old[d] - nb)
-                        xs_new.append(new[d] - nb)
-                    sj = (nbr_ref[(k * n_planes + dim) * nmax + j]
-                          if mixture else None)
+                        # pl.ds: k is a tracer on the fori_loop path
+                        base = (k * n_planes + d) * nmax + j0
+                        nb = nbr_ref[pl.ds(base, g)]
+                        xs_old.append(old[d][None] - nb)
+                        xs_new.append(new[d][None] - nb)
+                    if mixture:
+                        base = (k * n_planes + dim) * nmax + j0
+                        sj = nbr_ref[pl.ds(base, g)]
+                    else:
+                        sj = None
                     de_parts, ov_parts = accumulate(
-                        j, xs_old, xs_new, valid, de_parts, ov_parts, sj)
+                        is_tail, xs_old, xs_new, valid, de_parts, ov_parts,
+                        sj)
                 return de_parts, ov_parts
+
+            def flatten(de_parts, ov_parts):
+                return tuple(x for x in de_parts + ov_parts if x is not None)
+
+            def unflatten(flat):
+                it = iter(flat)
+                de_p = ((next(it), next(it) if tail else None)
+                        if energetic else (None, None))
+                ov_p = ((next(it), next(it) if tail else None)
+                        if hard else (None, None))
+                return de_p, ov_p
 
             if unroll_neighbors:
                 for k in range(n_k):
@@ -195,57 +241,60 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 # unroll=1 or full): u bodies per iteration + static tail
                 u = max(1, min(neighbor_unroll, n_k))
 
-                n_de = len(de_parts)
-
                 def k_block(b, c):
-                    dp, op = c[:n_de], c[n_de:]
+                    dp, op = unflatten(c)
                     for uu in range(u):
                         dp, op = nbr_cell_pairs(b * u + uu, dp, op)
-                    return dp + op
+                    return flatten(dp, op)
 
-                # flat carry: an empty sub-tuple (pure hard-core models have
-                # no de accumulators) fails Mosaic's scf.for legalization
                 flat = jax.lax.fori_loop(0, n_k // u, k_block,
-                                         de_parts + ov_parts)
-                de_parts, ov_parts = flat[:n_de], flat[n_de:]
+                                         flatten(de_parts, ov_parts))
+                de_parts, ov_parts = unflatten(flat)
                 for k in range((n_k // u) * u, n_k):
                     de_parts, ov_parts = nbr_cell_pairs(k, de_parts, ov_parts)
 
             # own-cell pairs (excluding the moving particle)
-            for j in range(nmax):
-                valid = (j < occ) & (p != j)
+            for j0, g in groups:
+                is_tail = g != G
+                ji = giota_t if is_tail else giota
+                valid = (ji < (occ - j0)[None]) & (ji != (p - j0)[None])
                 xs_old, xs_new = [], []
                 for d in range(dim):
-                    nb = out_ref[d * nmax + j]
-                    xs_old.append(old[d] - nb)
-                    xs_new.append(new[d] - nb)
-                sj = out_ref[dim * nmax + j] if mixture else None
+                    base = d * nmax + j0
+                    nb = out_ref[base:base + g]
+                    xs_old.append(old[d][None] - nb)
+                    xs_new.append(new[d][None] - nb)
+                sj = (out_ref[dim * nmax + j0:dim * nmax + j0 + g]
+                      if mixture else None)
                 de_parts, ov_parts = accumulate(
-                    j, xs_old, xs_new, valid, de_parts, ov_parts, sj)
+                    is_tail, xs_old, xs_new, valid, de_parts, ov_parts, sj)
 
-            # pairwise tree-fold keeps the tail reduction parallel too
-            def tree_fold(parts, op):
-                parts = list(parts)
-                while len(parts) > 1:
-                    parts = [op(parts[i], parts[i + 1])
-                             if i + 1 < len(parts) else parts[i]
-                             for i in range(0, len(parts), 2)]
-                return parts[0]
+            # reduce the [G, TR, TC] lane accumulators once per move
+            def lane_reduce(parts, red):
+                main, tl = parts
+                out = red(main)
+                if tl is not None:
+                    out = (out | red(tl)) if red is _any0 else out + red(tl)
+                return out
 
-            de = tree_fold(de_parts, jnp.add) if energetic else zero
-            ov_new = (tree_fold(ov_parts, jnp.bitwise_or).astype(jnp.bool_)
-                      if hard else jnp.zeros_like(nonempty))
+            de = lane_reduce(de_parts, _sum0) if energetic \
+                else jnp.zeros_like(occf)
+            ov_new = (lane_reduce(ov_parts, _any0) > 0 if hard
+                      else jnp.zeros_like(nonempty))
             accept = nonempty & jnp.logical_not(oob)
             if hard:
                 accept = accept & jnp.logical_not(ov_new)
             if energetic:
                 accept = accept & (accu_ref[m] < jnp.exp(-beta * de))
 
-            for j in range(nmax):
-                selj = accept & (p == j)
+            # grouped write-back of the accepted position
+            for j0, g in groups:
+                ji = giota_t if g != G else giota
+                selj = accept[None] & (ji == (p - j0)[None])
                 for d in range(dim):
-                    idx = d * nmax + j
-                    out_ref[idx] = jnp.where(selj, new[d], out_ref[idx])
+                    base = d * nmax + j0
+                    out_ref[base:base + g] = jnp.where(
+                        selj, new[d][None], out_ref[base:base + g])
 
             de_acc = de_acc + jnp.where(accept, de, 0.0)
             acc_acc = acc_acc + accept.astype(jnp.int32)
@@ -260,6 +309,25 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     return kernel
 
 
+def _sum0(x):
+    """Tree-fold sum over the leading (group) axis — explicit pairwise adds
+    so Mosaic sees plain vector ops, no cross-lane reduction."""
+    parts = [x[i] for i in range(x.shape[0])]
+    while len(parts) > 1:
+        parts = [parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+                 for i in range(0, len(parts), 2)]
+    return parts[0]
+
+
+def _any0(x):
+    """Tree-fold bitwise-or over the leading (group) axis (bool or int32)."""
+    parts = [x[i] for i in range(x.shape[0])]
+    while len(parts) > 1:
+        parts = [parts[i] | parts[i + 1] if i + 1 < len(parts) else parts[i]
+                 for i in range(0, len(parts), 2)]
+    return parts[0]
+
+
 def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          pos: jax.Array, occ: jax.Array, key: jax.Array,
                          shift_fn: ShiftFn = roll_shift_fn,
@@ -268,7 +336,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          *, tile_rows: int = 8, tile_cols: int = 128,
                          interpret: bool = False,
                          vma: tuple[str, ...] | None = None,
-                         neighbor_unroll: int = 1
+                         neighbor_unroll: int = 1,
+                         slot_group: int = 8
                          ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for sweep.color_substep backed by the Pallas kernel.
 
@@ -351,7 +420,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     else:
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
 
-    kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll)
+    kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
+                          slot_group)
     grid = (rp // tile_rows, cp // tile_cols)
 
     def bspec(lead):
@@ -423,14 +493,14 @@ def recommended_engine(cfg: SimConfig, vmem_budget: int = 24 * 2**20) -> str:
 def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
                         interpret: bool = False,
                         vma: tuple[str, ...] | None = None,
-                        neighbor_unroll: int = 1):
+                        neighbor_unroll: int = 1, slot_group: int = 8):
     """A color_substep-compatible function with chosen tiling.
 
     ``vma``: mesh axis names the state varies over when running inside
     shard_map (e.g. ("y", "x")); None on a single chip."""
     return partial(pallas_color_substep, tile_rows=tile_rows,
                    tile_cols=tile_cols, interpret=interpret, vma=vma,
-                   neighbor_unroll=neighbor_unroll)
+                   neighbor_unroll=neighbor_unroll, slot_group=slot_group)
 
 
 def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
@@ -443,11 +513,11 @@ def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
     return 8
 
 
-@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9))
 def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
                       n_sweeps: int, tile_rows: int = 0, tile_cols: int = 128,
                       interpret: bool = False, pallas_shift: bool = False,
-                      neighbor_unroll: int = 1
+                      neighbor_unroll: int = 1, slot_group: int = 8
                       ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """run_sweeps with the Pallas sub-sweep kernel (single chip).
 
@@ -461,7 +531,8 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
     if tile_rows == 0:
         tile_rows = auto_tile_rows(cfg, tile_cols)
     substep = make_pallas_substep(tile_rows, tile_cols, interpret,
-                                  neighbor_unroll=neighbor_unroll)
+                                  neighbor_unroll=neighbor_unroll,
+                                  slot_group=slot_group)
     shift_rebin_fn = None
     if pallas_shift:
         from mcjax.ops.pallas_shift import pallas_shift_rebin

@@ -164,3 +164,64 @@ def test_swap_replicas_detailed():
     a = np.sort(np.asarray(states.pos).ravel())
     b = np.sort(np.asarray(out.pos).ravel())
     np.testing.assert_array_equal(a, b)
+
+
+# ---- sharded mixtures (VERDICT r2 item 4) -----------------------------------
+
+def test_sharded_mixture_conservation_and_species_transport():
+    """Mixture substep under shard_map: particles AND species ids conserved
+    across halo/grid-shift transport; per-species counts invariant."""
+    from mcjax.models.mixtures import HardSphereMixture
+    from mcjax.ops.mixture import (color_substep_mixture, init_mixture_state,
+                                   unbin_mixture)
+
+    cfg = hd_cfg(nmax=10)
+    mix = HardSphereMixture(diameter=((0.9, 0.7), (0.7, 0.5)))
+    m = make_mesh((2, 2), ("y", "x"))
+    r0 = cells.lattice_positions(cfg)
+    spec0 = (jnp.arange(cfg.n_atoms) % 4 == 0).astype(jnp.int32)
+    st = init_mixture_state(cfg, r0, spec0)
+    run = pmesh.make_sharded_run_sweeps(cfg, mix, m, ("y", "x"), 20,
+                                        substep_fn=color_substep_mixture)
+    st_sh = pmesh.shard_state(cfg, st, m, ("y", "x"))
+    st2, met = run(st_sh)
+    assert int(st2.occ.sum()) == cfg.n_atoms
+    _, spec2 = unbin_mixture(cfg, st2.pos, st2.occ)
+    assert int(jnp.sum(spec2)) == int(jnp.sum(spec0))
+    assert float(met.accepted.sum()) > 0
+    # hard-core invariant holds globally after sharded evolution
+    from mcjax.ops.mixture import total_energy_mixture_n2
+    r2, s2 = unbin_mixture(cfg, st2.pos, st2.occ)
+    _, ov = total_energy_mixture_n2(mix, r2, s2, cfg.box_length)
+    assert not bool(ov)
+
+
+def test_sharded_mixture_lj_energy_anchored():
+    """KA-style binary LJ on a 2x2 mesh: dE trace == exact recompute —
+    the energy path's halo reads carry the species plane correctly."""
+    from mcjax.models.mixtures import LJMixture
+    from mcjax.ops.mixture import (color_substep_mixture, init_mixture_state,
+                                   total_energy_mixture_n2, unbin_mixture)
+
+    cfg = lj_cfg(dim=2, n_atoms=256, box_length=20.0, cells_per_side=8,
+                 nmax=12, n_moves=4, step_size=0.12, beta=0.8)
+    sig = ((1.0, 0.8), (0.8, 0.88))
+    mix = LJMixture(epsilon=((1.0, 1.5), (1.5, 0.5)), sigma=sig,
+                    r_cut_table=tuple(tuple(2.5 * s for s in row)
+                                      for row in sig))
+    m = make_mesh((2, 2), ("y", "x"))
+    # lattice start: a random-uniform start has near-coincident pairs whose
+    # ~1e10 LJ energies make the fp32 dE trace meaningless
+    r0 = cells.lattice_positions(cfg)
+    spec0 = (jnp.arange(cfg.n_atoms) % 5 == 4).astype(jnp.int32)
+    st = init_mixture_state(cfg, r0, spec0)
+    e0, _ = total_energy_mixture_n2(mix, r0, spec0, cfg.box_length)
+    run = pmesh.make_sharded_run_sweeps(cfg, mix, m, ("y", "x"), 10,
+                                        substep_fn=color_substep_mixture)
+    st_sh = pmesh.shard_state(cfg, st, m, ("y", "x"))
+    st2, met = run(st_sh)
+    r2, s2 = unbin_mixture(cfg, st2.pos, st2.occ)
+    e_exact, _ = total_energy_mixture_n2(mix, r2, s2, cfg.box_length)
+    e_traced = float(e0) + float(jnp.sum(met.delta_e))
+    assert abs(e_traced - float(e_exact)) < 1e-2 * max(1.0, abs(float(e_exact)))
+    assert int(st2.occ.sum()) == cfg.n_atoms
