@@ -1,0 +1,40 @@
+"""Multi-process seam (mcjax.launch / parallel.multihost): a 2-process
+localhost CPU dryrun — the sharded sweep's halo exchange crosses the
+process boundary through the distributed runtime (SURVEY.md §5 "DCN across
+slices"; removes the reference's single-process ceiling, kernel.cu:672-677).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from mcjax.parallel.multihost import _near_square_factors
+
+
+def test_near_square_factors():
+    assert _near_square_factors(8, 2) == (4, 2)
+    assert _near_square_factors(1, 2) == (1, 1)
+    assert _near_square_factors(12, 2) in ((4, 3), (6, 2))
+    f3 = _near_square_factors(8, 3)
+    assert sorted(f3, reverse=True) == list(f3)
+    import math
+    assert math.prod(f3) == 8
+
+
+def test_two_process_launch():
+    """python -m mcjax.launch --processes 2 exits 0 (each process: 4 virtual
+    CPU devices, conservation + live acceptance asserted in-process)."""
+    env = dict(os.environ)
+    # children force the CPU backend themselves; strip the test harness's
+    # device-count flag so each child sets its own
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "mcjax.launch", "--processes", "2",
+         "--sweeps", "2", "--port", "47919"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=570)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "launch: ok" in out.stdout
+    assert out.stdout.count(": ok (atoms") == 2
