@@ -31,10 +31,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", choices=["reference-lj", "hard-disk-64k"],
                    help="canned configurations")
     p.add_argument("--model", choices=["lj", "hard", "wca", "soft",
-                                       "squarewell", "yukawa"],
+                                       "squarewell", "yukawa", "ka"],
                    default=None,
-                   help="pair model (default lj; on --resume the model comes "
+                   help="pair model (default lj; 'ka' = Kob-Andersen 80:20 "
+                        "binary LJ mixture; on --resume the model comes "
                         "from the checkpoint and --model must agree)")
+    p.add_argument("--mixture-json", type=str, default=None,
+                   help="binary/multi-species LJ mixture tables from a JSON "
+                        "or YAML file: {epsilon: [[..]], sigma: [[..]], "
+                        "r_cut: [[..]], shift: bool}")
+    p.add_argument("--frac-b", type=float, default=0.2,
+                   help="species-B fraction for mixture models (default "
+                        "0.2, the Kob-Andersen composition)")
+    p.add_argument("--rho", type=float, default=None,
+                   help="number density (sets box; alternative to "
+                        "--box/--phi)")
+    p.add_argument("--pressure", type=float, default=None,
+                   help="run the NPT ensemble at this pressure (ln-V volume "
+                        "moves; mcjax.ops.npt)")
+    p.add_argument("--dlnv-max", type=float, default=0.02,
+                   help="NPT: max |d ln V| per volume move")
+    p.add_argument("--volume-every", type=int, default=1,
+                   help="NPT: attempt a volume move every k sweeps")
+    p.add_argument("--replicas", type=int, default=None,
+                   help="run R independent replica chains (vmap ensemble)")
+    p.add_argument("--betas", type=str, default=None,
+                   help="comma-separated inverse temperatures: runs "
+                        "parallel tempering with replica-exchange swaps "
+                        "every --chunk sweeps")
+    p.add_argument("--widom", type=int, default=None, metavar="K",
+                   help="Widom insertion with K ghost particles at the end "
+                        "(prints <B> and mu_excess)")
+    p.add_argument("--psi6", action="store_true",
+                   help="print the global |psi_6| bond-orientational order "
+                        "at the end (2D)")
     p.add_argument("--dim", type=int, default=3)
     p.add_argument("--n-atoms", type=int, default=800)
     p.add_argument("--box", type=float, default=None,
@@ -84,12 +114,43 @@ def build_parser() -> argparse.ArgumentParser:
 def potential_from_args(args):
     from mcjax.models.potentials import (HardSphere, LennardJones, SoftSphere,
                                          SquareWell, WCA, Yukawa)
+
+    if getattr(args, "mixture_json", None):
+        return _mixture_from_file(args.mixture_json)
+    if args.model == "ka":
+        from mcjax.models.mixtures import kob_andersen
+        return kob_andersen()
     return {"lj": LennardJones(r_cut=2.5),
             "hard": HardSphere(1.0),
             "wca": WCA(),
             "soft": SoftSphere(),
             "squarewell": SquareWell(),
             "yukawa": Yukawa()}[args.model or "lj"]
+
+
+def _mixture_from_file(path: str):
+    """LJMixture from a JSON/YAML table file (the mixture analogue of
+    --config-json)."""
+    from mcjax.models.mixtures import LJMixture
+
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        import yaml
+        d = yaml.safe_load(text)
+    return LJMixture(epsilon=d["epsilon"], sigma=d["sigma"],
+                     r_cut_table=d.get("r_cut") or d["r_cut_table"],
+                     shift=bool(d.get("shift", True)))
+
+
+def species_from_args(args, n_atoms: int) -> np.ndarray:
+    """Deterministic Bresenham interleave of species B at --frac-b density
+    (evenly mixed — no composition gradient across the init lattice)."""
+    i = np.arange(n_atoms, dtype=np.float64)
+    return (np.floor((i + 1) * args.frac_b)
+            - np.floor(i * args.frac_b)).astype(np.int32)
 
 
 def config_from_args(args) -> tuple["SimConfig", "Potential"]:
@@ -109,6 +170,7 @@ def config_from_args(args) -> tuple["SimConfig", "Potential"]:
         args.proposal = args.proposal or "uniform"
         args.step_size, args.beta, args.n_moves = 0.18, 1.0, 8
 
+    pot = potential_from_args(args)
     if args.config_json:
         from mcjax.utils.io import load_config_file
         cfg = load_config_file(args.config_json)
@@ -116,27 +178,25 @@ def config_from_args(args) -> tuple["SimConfig", "Potential"]:
         dim = args.dim
         box = args.box
         if box is None:
-            if args.phi is not None:
+            if args.rho is not None:
+                box = (args.n_atoms / args.rho) ** (1.0 / dim)
+            elif args.phi is not None:
                 if dim == 2:
                     box = math.sqrt(args.n_atoms * math.pi / 4 / args.phi)
                 else:
                     box = (args.n_atoms * math.pi / 6 / args.phi) ** (1 / 3)
             else:
-                raise SystemExit("need --box or --phi")
-        if args.model == "hard":
-            r_cut = 1.0
-        elif args.model == "wca":
-            r_cut = 2 ** (1 / 6)
-        elif args.model == "squarewell":
-            r_cut = 1.5
-        elif args.model == "yukawa":
-            r_cut = 3.0
-        else:
-            r_cut = 2.5
+                raise SystemExit("need --box, --phi, or --rho")
+        r_cut = pot.r_cut
         cps = args.cells_per_side
         if cps is None:
-            cps = int(box // max(r_cut, 1.0))
+            cps = int((box + 1e-9) // max(r_cut, 1.0))
             cps -= cps % 2
+        if cps < 4:
+            raise SystemExit(
+                f"box {box:.3f} holds fewer than 4 cells of width >= "
+                f"r_cut {r_cut:.3f} (cells_per_side {cps}); the checkerboard "
+                "needs >= 4 cells per side — increase N or the density")
         nmax = args.nmax
         if nmax is None:
             from mcjax.core.config import SimConfig as SC
@@ -149,7 +209,6 @@ def config_from_args(args) -> tuple["SimConfig", "Potential"]:
                  proposal=proposal, step_size=args.step_size, beta=args.beta,
                  sweeps=args.sweeps, seed=args.seed)
 
-    pot = potential_from_args(args)
     cfg.validate_against(pot.r_cut)
     return cfg, pot
 
@@ -185,7 +244,22 @@ def main(argv=None) -> int:
               file=sys.stderr)
     else:
         cfg, pot = config_from_args(args)
-        state = init_state(cfg)
+        if getattr(pot, "is_mixture", False):
+            from mcjax.ops.mixture import init_mixture_state
+            spec = species_from_args(args, cfg.n_atoms)
+            state = init_mixture_state(cfg, cells.lattice_positions(cfg),
+                                       spec, seed=cfg.seed)
+        else:
+            state = init_state(cfg)
+
+    mixture = getattr(pot, "is_mixture", False)
+
+    # ---- ensemble branches (reference UX: recompile kernel.cu; mcjax UX:
+    # one flag routes to the matching library driver) -----------------------
+    if args.betas is not None or args.replicas is not None:
+        return tempering_main(args, cfg, pot)
+    if args.pressure is not None:
+        return npt_main(args, cfg, pot, state)
 
     engine = args.engine
     if engine == "auto":
@@ -194,6 +268,8 @@ def main(argv=None) -> int:
         print(f"# engine: {engine}", file=sys.stderr)
     if engine == "pallas":
         from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
+    elif mixture:
+        from mcjax.ops.mixture import run_sweeps_mixture as runner
     else:
         runner = run_sweeps
 
@@ -206,11 +282,18 @@ def main(argv=None) -> int:
               f"(warmup acceptance {acc0:.3f}, target "
               f"{args.tune_acceptance})", file=sys.stderr)
 
-    e = float(total_energy_cells(cfg, pot, state.pos, state.occ))
+    def exact_energy(st):
+        if mixture:
+            from mcjax.ops.mixture import total_interaction_cells_mixture
+            return float(total_interaction_cells_mixture(
+                cfg, pot, st.pos, st.occ)[0])
+        return float(total_energy_cells(cfg, pot, st.pos, st.occ))
+
+    e = exact_energy(state)
     if not args.quiet:
         print(f"{int(state.sweep)}: {e:.6f}")
 
-    frames = []
+    frames, frame_types = [], []
     # --sweeps is the number to run in THIS invocation (a resumed run's
     # checkpoint carries the original cfg.sweeps, which is not what we want).
     # Distribute exactly: a final partial chunk costs one extra compile but
@@ -236,37 +319,176 @@ def main(argv=None) -> int:
                 print(f"{s0 + i + 1}: {trace[i]:.6f}")
         e += float(np.sum(de_per_sweep))
         if args.reanchor_every and (c + 1) % args.reanchor_every == 0:
-            e = float(total_energy_cells(cfg, pot, state.pos, state.occ))
+            e = exact_energy(state)
         if not args.quiet and not args.trace_every:
             print(f"{int(state.sweep)}: {e:.6f}")
         if args.dump and (c + 1) % args.dump_every == 0:
-            frames.append(np.asarray(cells.unbin(cfg, state.pos, state.occ)))
+            if mixture:
+                from mcjax.ops.mixture import unbin_mixture
+                rr, ss = unbin_mixture(cfg, state.pos, state.occ)
+                frames.append(np.asarray(rr))
+                frame_types.append(np.asarray(ss) + 1)
+            else:
+                frames.append(np.asarray(cells.unbin(cfg, state.pos,
+                                                     state.occ)))
         if args.checkpoint:
             io.save_checkpoint(args.checkpoint, cfg, state, pot)
     dt = time.perf_counter() - t_start
 
     if args.dump and frames:
-        io.write_lammps_dump(args.dump, np.stack(frames), cfg.box_length)
+        io.write_lammps_dump(args.dump, np.stack(frames), cfg.box_length,
+                             types=(np.stack(frame_types) if frame_types
+                                    else None))
         print(f"# wrote {len(frames)} frames to {args.dump}", file=sys.stderr)
     if args.gr:
         n_bins = 64
-        if cfg.n_atoms > 20_000:
+        if mixture:
+            # species-resolved partials — the structure analysis that
+            # matters for a binary system (g_AA / g_AB / g_BB)
+            from mcjax.ops.mixture import partial_rdf_cells
+            r_max = min(cfg.box_length / 4, cfg.cell_width)
+            s_max = int(max(np.asarray(
+                cells.unbin(cfg, state.pos, state.occ))[:, cfg.dim])) + 1
+            for a in range(s_max):
+                for b in range(a, s_max):
+                    centers, g = partial_rdf_cells(cfg, state.pos, state.occ,
+                                                   n_bins, r_max, (a, b))
+                    for cc, gg in zip(np.asarray(centers), np.asarray(g)):
+                        print(f"g{a}{b} {cc:.4f} {gg:.4f}")
+        elif cfg.n_atoms > 20_000:
             # O(N^2) dies at production N; the cell-list histogram is exact
             # out to one cell width
             r_max = min(cfg.box_length / 4, cfg.cell_width)
             centers, g = observables.radial_distribution_cells(
                 cfg, state.pos, state.occ, n_bins, r_max)
+            for cc, gg in zip(np.asarray(centers), np.asarray(g)):
+                print(f"g {cc:.4f} {gg:.4f}")
         else:
             r = cells.unbin(cfg, state.pos, state.occ)
             centers, g = observables.radial_distribution(
                 r, cfg.box_length, n_bins, cfg.box_length / 4, cfg.dim)
-        for cc, gg in zip(np.asarray(centers), np.asarray(g)):
-            print(f"g {cc:.4f} {gg:.4f}")
+            for cc, gg in zip(np.asarray(centers), np.asarray(g)):
+                print(f"g {cc:.4f} {gg:.4f}")
+    if args.widom is not None:
+        if mixture:
+            raise SystemExit("--widom needs a single-species model (a ghost "
+                             "particle has one species)")
+        import jax
+        import jax.numpy as _jnp
+        # negative tag: disjoint from the sweep tree (sweep >= 0); must be a
+        # traced int32 (a Python -7 fails uint32 coercion)
+        kw = jax.random.fold_in(state.key, _jnp.int32(-7))
+        b = float(observables.widom_insertion(cfg, pot, state.pos, state.occ,
+                                              kw, args.widom))
+        mu = -math.log(max(b, 1e-300)) / cfg.beta
+        print(f"widom B {b:.6e} mu_ex {mu:.6f}")
+    if args.psi6:
+        if cfg.dim != 2 or mixture:
+            raise SystemExit("--psi6 is a 2D single-species observable")
+        r_cut = min(1.4, cfg.cell_width)
+        val = float(observables.psi6_cells(cfg, state.pos, state.occ, r_cut))
+        print(f"psi6 {val:.6f}")
     acc = accepted / max(proposed, 1)
     rate = proposed / dt
     print(f"# {int(state.sweep)} sweeps; acceptance {acc:.3f}; "
           f"{rate:.3e} trial moves/s; overflow {bool(state.overflow)}",
           file=sys.stderr)
+    return 0
+
+
+def npt_main(args, cfg, pot, state) -> int:
+    """NPT driver branch: particle sweeps + ln-V volume moves (mcjax.ops.npt;
+    the reference has no constant-pressure capability at all)."""
+    import jax.numpy as jnp
+
+    from mcjax.ops import npt as npt_mod
+    from mcjax.utils import io
+
+    if getattr(pot, "is_mixture", False):
+        raise SystemExit("--pressure currently supports single-species "
+                         "models (NPT mixture runs: use the library API)")
+    nst = npt_mod.init_npt(state)
+    if args.resume:
+        extras = io.load_checkpoint_extras(args.resume)
+        if "log_scale" in extras:
+            import dataclasses as _dc
+            nst = _dc.replace(nst, log_scale=jnp.asarray(
+                extras["log_scale"], jnp.float32))
+            print(f"# resumed NPT at scale {float(jnp.exp(nst.log_scale)):.6f}",
+                  file=sys.stderr)
+    chunks = [args.chunk] * (args.sweeps // args.chunk)
+    if args.sweeps % args.chunk:
+        chunks.append(args.sweeps % args.chunk)
+    t0 = time.perf_counter()
+    vol_acc = vol_try = 0
+    for chunk in chunks:
+        nst, m = npt_mod.run_npt(cfg, pot, nst, args.pressure, chunk,
+                                 args.dlnv_max, args.volume_every)
+        vol_acc += int(jnp.sum(m.vol_accepted))
+        vol_try += chunk // args.volume_every
+        if not args.quiet:
+            print(f"{int(nst.sim.sweep)}: E {float(m.energy[-1]):.6f} "
+                  f"V {float(m.volume[-1]):.6f} "
+                  f"scale {float(jnp.exp(nst.log_scale)):.6f}")
+        if args.checkpoint:
+            io.save_checkpoint(args.checkpoint, cfg, nst.sim, pot,
+                               extra_arrays={"log_scale": nst.log_scale})
+    dt = time.perf_counter() - t0
+    print(f"# NPT {int(nst.sim.sweep)} sweeps at P={args.pressure}; "
+          f"volume acceptance {vol_acc}/{max(vol_try, 1)}; "
+          f"overflow {bool(nst.sim.overflow)}; {dt:.1f}s", file=sys.stderr)
+    return 0
+
+
+def tempering_main(args, cfg, pot) -> int:
+    """Replica-ensemble / parallel-tempering branch (vmap over replicas;
+    swaps every --chunk sweeps when --betas is given)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcjax.parallel import ensemble
+
+    if getattr(pot, "is_mixture", False):
+        raise SystemExit("--replicas/--betas currently support "
+                         "single-species models")
+    if args.betas is not None:
+        betas = jnp.asarray([float(b) for b in args.betas.split(",")])
+        r = betas.shape[0]
+        if args.replicas is not None and args.replicas != r:
+            raise SystemExit(f"--replicas {args.replicas} != len(--betas) "
+                             f"= {r}")
+    else:
+        r = args.replicas
+        betas = jnp.full((r,), cfg.beta)
+    states = ensemble.init_ensemble(cfg, r)
+    rounds = max(1, args.sweeps // args.chunk)
+    t0 = time.perf_counter()
+    if args.betas is not None:
+        key = jax.random.key(cfg.seed + 1)
+        states, swaps, ehist = ensemble.parallel_tempering(
+            cfg, pot, states, betas, key, rounds, args.chunk)
+        if not args.quiet:
+            for i in range(rounds):
+                es = " ".join(f"{float(e):.4f}" for e in ehist[i])
+                print(f"round {i}: swaps {int(swaps[i])} E {es}")
+        print(f"# tempering: {rounds} rounds x {args.chunk} sweeps, "
+              f"{r} replicas; {float(jnp.mean(swaps)):.2f} swaps/round",
+              file=sys.stderr)
+    else:
+        states, ms = ensemble.run_ensemble(cfg, pot, states, args.sweeps,
+                                           betas)
+        acc = (float(jnp.sum(ms.accepted.astype(jnp.float64)))
+               / max(float(jnp.sum(ms.proposed.astype(jnp.float64))), 1.0))
+        if not args.quiet:
+            from mcjax.ops.sweep import total_energy_cells
+            for i in range(r):
+                e = float(total_energy_cells(cfg, pot, states.pos[i],
+                                             states.occ[i]))
+                print(f"replica {i}: E {e:.6f}")
+        print(f"# ensemble: {r} replicas x {args.sweeps} sweeps; "
+              f"acceptance {acc:.3f}", file=sys.stderr)
+    dt = time.perf_counter() - t0
+    print(f"# {dt:.1f}s", file=sys.stderr)
     return 0
 
 

@@ -27,18 +27,26 @@ from mcjax.core.state import SimState
 
 
 def write_lammps_dump(f: IO[str] | str, frames: np.ndarray,
-                      box_length: float) -> None:
+                      box_length: float,
+                      types: np.ndarray | None = None) -> None:
     """Write [T, N, dim] position frames in the reference's dump format.
 
     Header layout follows create_dump (kernel.cu:528-532): per-frame TIMESTEP,
     NUMBER OF ATOMS, BOX BOUNDS (3 lines; 2D dumps get a flat z-slab), then
     ``id type x y z ix iy iz`` rows.
+
+    ``types``: per-atom type column, [N] or [T, N] (mixtures: species id + 1
+    so OVITO colors species; defaults to the reference's id-as-type).
     """
     frames = np.asarray(frames)
     if frames.ndim == 2:
         frames = frames[None]
     t_steps, n, dim = frames.shape
     half = box_length / 2.0
+    if types is not None:
+        types = np.asarray(types, np.int64)
+        if types.ndim == 1:
+            types = np.broadcast_to(types, (t_steps, n))
 
     own = isinstance(f, (str, os.PathLike))
     fh = open(f, "w") if own else f
@@ -55,7 +63,8 @@ def write_lammps_dump(f: IO[str] | str, frames: np.ndarray,
                 x = frames[t, j, 0]
                 y = frames[t, j, 1]
                 z = frames[t, j, 2] if dim == 3 else 0.0
-                fh.write(f"{j + 1} {j + 1} {x:f} {y:f} {z:f} 0 0 0\n")
+                ty = int(types[t, j]) if types is not None else j + 1
+                fh.write(f"{j + 1} {ty} {x:f} {y:f} {z:f} 0 0 0\n")
     finally:
         if own:
             fh.close()
@@ -86,17 +95,23 @@ def read_lammps_dump(path: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(path: str, cfg: SimConfig, state: SimState,
-                    pot=None) -> None:
+                    pot=None, extra_arrays: dict | None = None) -> None:
     """Persist config + potential + full state; atomic-rename so a crash
     can't corrupt. The potential rides along so a resumed run cannot
     silently continue under different physics (a resume must need no model
-    flags at all)."""
+    flags at all).
+
+    ``extra_arrays``: ensemble-specific payload (e.g. the NPT log_scale),
+    stored under ``extra_<name>`` and read back via load_checkpoint_extras.
+    """
     from mcjax.models.potentials import potential_to_dict
 
     tmp = path + ".tmp"
     extra = {}
     if pot is not None:
         extra["potential_json"] = json.dumps(potential_to_dict(pot))
+    for k, v in (extra_arrays or {}).items():
+        extra[f"extra_{k}"] = np.asarray(v)
     np.savez(
         tmp if tmp.endswith(".npz") else tmp,
         pos=np.asarray(state.pos),
@@ -129,6 +144,13 @@ def load_checkpoint(path: str) -> tuple[SimConfig, SimState, "object | None"]:
             overflow=jnp.asarray(z["overflow"]),
         )
     return cfg, state, pot
+
+
+def load_checkpoint_extras(path: str) -> dict:
+    """The ``extra_arrays`` payload of a checkpoint (e.g. NPT log_scale)."""
+    with np.load(path, allow_pickle=False) as z:
+        return {k[len("extra_"):]: np.asarray(z[k])
+                for k in z.files if k.startswith("extra_")}
 
 
 # ---- orbax backend (sharded / async-capable checkpoints at pod scale) -----

@@ -130,3 +130,79 @@ def test_cli_tune_acceptance(tmp_path):
                   "--chunk", "2", "--tune-acceptance", "0.5")
     assert out.returncode == 0, out.stderr[-2000:]
     assert "tuned step_size" in out.stderr
+
+
+# ---- round-3 capability surface (VERDICT r2 item 6) --------------------------
+
+def test_cli_ka_mixture_end_to_end(tmp_path):
+    """--model ka: mixture init, species-typed dump, partial RDFs,
+    checkpoint round-trip via the registered mixture kind."""
+    dump = str(tmp_path / "ka.txt")
+    ck = str(tmp_path / "ka.npz")
+    out = run_cli("--model", "ka", "--dim", "3", "--n-atoms", "1200",
+                  "--rho", "1.2", "--n-moves", "2", "--beta", "1.25",
+                  "--sigma", "0.09", "--sweeps", "2", "--chunk", "1",
+                  "--gr", "--dump", dump, "--checkpoint", ck,
+                  "--engine", "xla")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "g01" in out.stdout and "g11" in out.stdout
+    # dump carries species as the type column (1-based)
+    types = {int(line.split()[1]) for line in open(dump)
+             if len(line.split()) == 8 and line.split()[0].isdigit()}
+    assert types == {1, 2}
+    out2 = run_cli("--resume", ck, "--sweeps", "1", "--chunk", "1",
+                   "--engine", "xla")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "LJMixture" in out2.stderr
+
+
+def test_cli_npt_run_and_resume(tmp_path):
+    ck = str(tmp_path / "npt.npz")
+    out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "128",
+                  "--phi", "0.4", "--n-moves", "2", "--sweeps", "4",
+                  "--chunk", "2", "--pressure", "0.6", "--volume-every", "2",
+                  "--checkpoint", ck, "--engine", "xla")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "# NPT 4 sweeps at P=0.6" in out.stderr
+    out2 = run_cli("--resume", ck, "--pressure", "0.6", "--sweeps", "2",
+                   "--chunk", "2")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "resumed NPT at scale" in out2.stderr
+
+
+def test_cli_widom_psi6(tmp_path):
+    out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "128",
+                  "--phi", "0.4", "--n-moves", "2", "--sweeps", "2",
+                  "--chunk", "2", "--widom", "32", "--psi6",
+                  "--engine", "xla")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "widom B" in out.stdout and "psi6" in out.stdout
+    b = float(out.stdout.split("widom B")[1].split()[0])
+    assert 0.0 <= b <= 1.0     # hard disks: B is an insertion probability
+
+
+def test_cli_tempering_and_ensemble(tmp_path):
+    out = run_cli("--model", "lj", "--dim", "3", "--n-atoms", "343",
+                  "--box", "12.0", "--n-moves", "2", "--sweeps", "4",
+                  "--chunk", "2", "--betas", "0.2,0.3", "--engine", "xla")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "round 0:" in out.stdout and "tempering" in out.stderr
+    out2 = run_cli("--model", "lj", "--dim", "3", "--n-atoms", "343",
+                   "--box", "12.0", "--n-moves", "2", "--sweeps", "2",
+                   "--chunk", "2", "--replicas", "2", "--engine", "xla")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "replica 1:" in out2.stdout
+
+
+def test_cli_mixture_json(tmp_path):
+    mixfile = tmp_path / "mix.json"
+    mixfile.write_text(json.dumps({
+        "epsilon": [[1.0, 1.5], [1.5, 0.5]],
+        "sigma": [[1.0, 0.8], [0.8, 0.88]],
+        "r_cut": [[2.5, 2.0], [2.0, 2.2]],
+        "shift": True}))
+    out = run_cli("--mixture-json", str(mixfile), "--dim", "3",
+                  "--n-atoms", "1200", "--rho", "1.2", "--n-moves", "2",
+                  "--beta", "1.0", "--sigma", "0.09", "--sweeps", "2",
+                  "--chunk", "2", "--engine", "xla")
+    assert out.returncode == 0, out.stderr[-2000:]
