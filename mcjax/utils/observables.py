@@ -453,3 +453,89 @@ def henderson_z_disks(phi: float) -> float:
 def carnahan_starling_z(phi: float) -> float:
     """Carnahan-Starling hard-sphere EOS Z(phi) — 3D parity target."""
     return (1.0 + phi + phi**2 - phi**3) / (1.0 - phi) ** 3
+
+
+# ---------------------------------------------------------------------------
+# Structure factor S(k)
+# ---------------------------------------------------------------------------
+
+def k_lattice(cfg, k_max: float, include_axes_only: bool = False
+              ) -> np.ndarray:
+    """Commensurate wavevectors k = (2 pi / L) n with 0 < |k| <= k_max.
+
+    Returns [K, dim] float32 (half-space: the -k duplicates are dropped
+    since S(-k) = S(k) for real densities).
+    """
+    dk = 2.0 * math.pi / cfg.box_length
+    n_max = int(k_max / dk)
+    if n_max < 1:
+        raise ValueError(f"k_max {k_max} below the smallest lattice "
+                         f"wavevector {dk:.4f}")
+    rng = np.arange(-n_max, n_max + 1)
+    grids = np.meshgrid(*([rng] * cfg.dim), indexing="ij")
+    n = np.stack([g.ravel() for g in grids], axis=-1)       # [M, dim]
+    k2 = (n * n).sum(-1)
+    keep = (k2 > 0) & (k2 <= n_max * n_max + 1e-9)
+    # half space: first nonzero component positive
+    lead = np.zeros(len(n), bool)
+    undecided = np.ones(len(n), bool)
+    for d in range(cfg.dim):
+        lead |= undecided & (n[:, d] > 0)
+        undecided &= n[:, d] == 0
+    keep &= lead
+    if include_axes_only:
+        keep &= (np.count_nonzero(n, axis=1) == 1)
+    kv = n[keep] * dk
+    k_abs = np.sqrt((kv * kv).sum(-1))
+    return kv[k_abs <= k_max + 1e-9].astype(np.float32)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def structure_factor_cells(cfg, pos: jax.Array, occ: jax.Array,
+                           k_vectors: jax.Array) -> jax.Array:
+    """S(k) = |sum_j exp(i k . r_j)|^2 / N at the given wavevectors, by
+    direct summation over the cell-list state — O(N x K), usable at the
+    1M-atom flagship scale where an FFT-from-g(r) route is unavailable
+    (g(r) is only known out to one cell width).
+
+    The reference has no reciprocal-space observables at all (SURVEY.md §5
+    metrics row); S(k) is the standard freezing/ordering diagnostic.
+    """
+    dim, nmax = cfg.dim, cfg.nmax
+    kv = jnp.asarray(k_vectors, jnp.float32)               # [K, dim]
+    n_tot = jnp.sum(occ)
+
+    def one_k(k):
+        re = jnp.float32(0.0)
+        im = jnp.float32(0.0)
+        for color in range(cfg.n_colors):
+            own = pos[color]                               # [>=dim, nmax, *bs]
+            own_occ = occ[color]
+            bs = own_occ.shape
+            sl = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+            valid = sl < own_occ[None]
+            phase = jnp.zeros(own.shape[1:], jnp.float32)
+            for d in range(dim):
+                phase = phase + k[d] * own[d]
+            re = re + jnp.sum(jnp.where(valid, jnp.cos(phase), 0.0))
+            im = im + jnp.sum(jnp.where(valid, jnp.sin(phase), 0.0))
+        return (re * re + im * im) / jnp.maximum(n_tot, 1)
+
+    return jax.lax.map(one_k, kv)
+
+
+def structure_factor_radial(cfg, pos: jax.Array, occ: jax.Array,
+                            k_max: float, n_bins: int = 32
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Radially averaged S(|k|): bin structure_factor_cells over the
+    commensurate k lattice. Returns (bin centers, S)."""
+    kv = k_lattice(cfg, k_max)
+    s = np.asarray(structure_factor_cells(cfg, pos, occ, kv))
+    k_abs = np.sqrt((kv * kv).sum(-1))
+    edges = np.linspace(0.0, k_max, n_bins + 1)
+    idx = np.clip(np.digitize(k_abs, edges) - 1, 0, n_bins - 1)
+    sums = np.bincount(idx, weights=s, minlength=n_bins)
+    counts = np.bincount(idx, minlength=n_bins)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    mask = counts > 0
+    return centers[mask], (sums[mask] / counts[mask])

@@ -266,3 +266,59 @@ def test_psi6_order_parameter():
     psi_fluid = float(psi6_cells(cfg, pos2, occ2))
     assert psi_fluid < 0.3, psi_fluid
     assert psi_solid > 2 * psi_fluid
+
+
+# ---- structure factor (round 3; SURVEY §5 metrics row extension) ------------
+
+def test_structure_factor_matches_direct_sum():
+    """Cell-list S(k) == the O(N) numpy direct sum on unbinned positions."""
+    import math
+
+    from mcjax.utils.observables import k_lattice, structure_factor_cells
+
+    n, phi = 96, 0.35
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=8, n_moves=2, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, HardSphere(1.0), st, 5)
+    kv = k_lattice(cfg, k_max=3.0)
+    assert len(kv) > 4
+    s = np.asarray(structure_factor_cells(cfg, st.pos, st.occ, kv))
+    r = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+    for i, k in enumerate(kv):
+        ph = r @ k
+        want = (np.cos(ph).sum() ** 2 + np.sin(ph).sum() ** 2) / n
+        np.testing.assert_allclose(s[i], want, rtol=2e-3, atol=1e-3)
+
+
+def test_structure_factor_bragg_peak_on_solid():
+    """A perfect triangular lattice scatters all weight into its reciprocal
+    vectors: S(G) = N, while generic k stay O(1)."""
+    import math
+
+    from mcjax.ops.cells import (triangular_lattice_positions,
+                                 triangular_rows)
+    from mcjax.utils.observables import structure_factor_cells
+
+    n = 240            # 20 x 12 factorization exists
+    phi = 0.7
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.2)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=8, n_moves=1, proposal="uniform", step_size=0.01,
+                    beta=1.0)
+    pos = triangular_lattice_positions(cfg)
+    st = init_state(cfg, positions=pos)
+    nx, ny = triangular_rows(n, box)
+    dk = 2.0 * math.pi / box
+    g_vec = np.array([[nx * dk, (ny // 2) * dk]], np.float32)
+    generic = np.array([[3 * dk, 2 * dk]], np.float32)
+    s = np.asarray(structure_factor_cells(cfg, st.pos, st.occ,
+                                          np.vstack([g_vec, generic])))
+    assert s[0] > 0.9 * n, s
+    assert s[1] < 0.1 * n, s
