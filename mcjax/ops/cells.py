@@ -297,19 +297,23 @@ def bin_particles(cfg: SimConfig, positions: jax.Array,
     return pos, occ, overflow
 
 
-def unbin(cfg: SimConfig, pos: jax.Array, occ: jax.Array) -> jax.Array:
-    """Flatten slabs back to [n_atoms, dim (+E)] (deterministic slot order).
+def unbin(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
+          n_out: int | None = None) -> jax.Array:
+    """Flatten slabs back to [n_out, dim (+E)] (deterministic slot order).
 
     Inverse of ``bin_particles``; the reference analogue is ``disk_to_r``
-    (kernel.cu:497-507). Requires sum(occ) == cfg.n_atoms. Attribute planes
-    beyond dim (mixtures) come back as trailing columns.
+    (kernel.cu:497-507). ``n_out`` defaults to cfg.n_atoms; pass the current
+    particle count for variable-N states (GCMC). Attribute planes beyond dim
+    (mixtures) come back as trailing columns.
     """
+    if n_out is None:
+        n_out = cfg.n_atoms
     n_planes = pos.shape[1]
     pos = jnp.moveaxis(pos, (1, 2), (-1, -2))  # [colors, *bs, nmax, planes]
     flat_pos = pos.reshape((-1, cfg.nmax, n_planes)).reshape((-1, n_planes))
     valid = (jnp.arange(cfg.nmax)[None, :]
              < occ.reshape((-1,))[:, None]).reshape((-1,))
-    idx = jnp.argsort(~valid, stable=True)[: cfg.n_atoms]
+    idx = jnp.argsort(~valid, stable=True)[: n_out]
     return flat_pos[idx]
 
 

@@ -79,7 +79,9 @@ def validate_state(cfg: SimConfig, state: SimState,
                     f"cell bounds along axis {k}")
 
     if pot is not None and pot.has_hard_core:
-        r = cells.unbin(cfg, state.pos, state.occ)
+        # n_out follows the LIVE count (GCMC states have N != cfg.n_atoms);
+        # the default would append garbage slots and report phantom overlaps
+        r = cells.unbin(cfg, state.pos, state.occ, n_out=int(occ.sum()))
         _, ov = total_energy(pot, r, cfg.box_length)
         if bool(ov):
             raise StateInvariantError("hard-core overlap present")

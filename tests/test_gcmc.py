@@ -1,0 +1,96 @@
+"""Grand-canonical (muVT) ensemble tests: ideal-gas exactness, activity
+consistency with Widom insertion, slab invariants under insertion/deletion.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.potentials import HardSphere, LennardJones
+from mcjax.ops import gcmc
+from mcjax.ops.sweep import run_sweeps
+
+
+def test_gcmc_ideal_gas_exact():
+    """epsilon=0 LJ = ideal gas: <N> = zV exactly, N ~ Poisson."""
+    cfg = SimConfig(dim=2, n_atoms=40, box_length=12.0, cells_per_side=4,
+                    nmax=14, n_moves=2, proposal="uniform", step_size=0.5,
+                    beta=1.0)
+    pot = LennardJones(epsilon=0.0)
+    st = init_state(cfg)
+    n_target = 40.0
+    z = n_target / cfg.box_length ** 2
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 300, 20)      # equilibrate
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 1500, 20)
+    n_mean = float(jnp.mean(m.n_particles.astype(jnp.float32)))
+    assert abs(n_mean - n_target) / n_target < 0.06, n_mean
+    # Poisson: var ~ mean (loose — samples are correlated)
+    n_var = float(jnp.var(m.n_particles.astype(jnp.float32)))
+    assert 0.3 * n_mean < n_var < 3.0 * n_mean, (n_mean, n_var)
+    assert int(jnp.sum(m.capacity_rejects)) == 0
+    assert int(jnp.sum(m.inserted)) > 100
+    assert int(jnp.sum(m.deleted)) > 100
+
+
+def test_gcmc_hard_disks_consistent_with_widom():
+    """Self-consistency against the NVT engine: measure the insertion factor
+    B = <e^{-beta dU}> at phi* by Widom, then run muVT at z* = rho*/B —
+    the GC density must settle back at rho* (exact at equilibrium)."""
+    from mcjax.utils.observables import widom_insertion
+
+    n, phi = 128, 0.3
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=4, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg)
+    st, _ = run_sweeps(cfg, hs, st, 300)
+    # Widom estimate of B, averaged over a few decorrelated snapshots
+    bs = []
+    for i in range(6):
+        st, _ = run_sweeps(cfg, hs, st, 50)
+        kw = jax.random.fold_in(st.key, jnp.int32(-100 - i))
+        bs.append(float(widom_insertion(cfg, hs, st.pos, st.occ, kw, 2000)))
+    b = float(np.mean(bs))
+    rho = n / box ** 2
+    z_star = rho / b
+    st, m = gcmc.run_gcmc(cfg, hs, st, z_star, 400, 32)   # equilibrate
+    st, m = gcmc.run_gcmc(cfg, hs, st, z_star, 1200, 32)
+    n_mean = float(jnp.mean(m.n_particles.astype(jnp.float32)))
+    assert abs(n_mean - n) / n < 0.07, (n_mean, n, b)
+    assert int(jnp.sum(m.capacity_rejects)) == 0
+
+
+def test_gcmc_invariants_and_no_overlap():
+    from mcjax.models.reference import total_energy
+    from mcjax.ops import cells
+
+    n, phi = 64, 0.25
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=2, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg)
+    st, m = gcmc.run_gcmc(cfg, hs, st, 0.3, 200, 16)
+    occ = np.asarray(st.occ)
+    assert (occ >= 0).all() and (occ <= cfg.nmax).all()
+    n_now = int(occ.sum())
+    assert n_now == int(m.n_particles[-1])
+    # live particles never overlap
+    r = np.asarray(cells.unbin(cfg, st.pos, st.occ, n_out=n_now))
+    assert r.shape[0] == n_now
+    _, ov = total_energy(hs, r, cfg.box_length)
+    assert not bool(ov)
+    # the slab geometry is still valid: every particle is inside its cell
+    from mcjax.utils.debug import validate_state
+    validate_state(cfg, st, hs, expect_atoms=n_now)
