@@ -18,8 +18,9 @@ untouched:
   physical cell width below the potential cutoff (one-ring coverage
   contract) rejects outright.
 
-Particle sweeps use the XLA engine (scale-aware); the Pallas kernel can be
-taught the same SMEM scalar later if NPT becomes a hot workload.
+Both engines are scale-aware: the XLA substep threads ``scale`` through its
+pair distances, and the Pallas kernel receives s^2 as an SMEM scalar
+(``substep_fn=make_pallas_substep(...)`` — compiled out entirely for NVT).
 """
 
 from __future__ import annotations
@@ -65,7 +66,8 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
               pressure: float, dlnv_max: float = 0.02,
               beta: jax.Array | float | None = None,
               u_old: jax.Array | None = None,
-              do_volume: jax.Array | bool = True
+              do_volume: jax.Array | bool = True,
+              substep_fn=None
               ) -> tuple[NPTState, NPTMetrics]:
     """One NPT MC sweep: a full particle sweep at fixed volume, then one
     ln-V volume move.
@@ -84,7 +86,8 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
     l0 = cfg.box_length
 
     s = jnp.exp(nst.log_scale)
-    sim, m = mc_sweep(cfg, pot, nst.sim, scale=s)
+    sim, m = mc_sweep(cfg, pot, nst.sim, scale=s,
+                      substep_fn=substep_fn)
 
     if u_old is None:
         u_cur, _ = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
@@ -128,10 +131,11 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
     return NPTState(sim=sim, log_scale=log_scale), metrics
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7, 8))
 def run_npt(cfg: SimConfig, pot: Potential, nst: NPTState, pressure: float,
             n_sweeps: int, dlnv_max: float = 0.02,
-            volume_every: int = 1, anchor_every: int = 0
+            volume_every: int = 1, anchor_every: int = 0,
+            substep_fn=None
             ) -> tuple[NPTState, NPTMetrics]:
     """n_sweeps NPT sweeps as one scan; metrics stacked per sweep.
 
@@ -157,7 +161,7 @@ def run_npt(cfg: SimConfig, pot: Potential, nst: NPTState, pressure: float,
                 lambda: u)
         do_vol = (st.sim.sweep + 1) % volume_every == 0
         st, mtr = npt_sweep(cfg, pot, st, pressure, dlnv_max, u_old=u,
-                            do_volume=do_vol)
+                            do_volume=do_vol, substep_fn=substep_fn)
         return (st, mtr.energy), mtr
 
     (nst, _), ms = jax.lax.scan(body, (nst, u0), length=n_sweeps)

@@ -60,7 +60,7 @@ def _lane_pad_ratio(trailing: int) -> float:
 
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None, neighbor_unroll: int = 1,
-                 slot_group: int = 8):
+                 slot_group: int = 8, use_scale: bool = False):
     """Build the kernel body (closure over static config/potential).
 
     ILP design (round 3): pair slots are processed in GROUPS of
@@ -109,13 +109,17 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
         pair_fn = getattr(pot, "pair_energy_pl", pot.pair_energy)
 
     def kernel(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
-               pick_ref, disp_ref, accu_ref, beta_ref,
+               pick_ref, disp_ref, accu_ref, beta_ref, scale2_ref,
                out_ref, de_ref, acc_ref):
         occ = occ_ref[0]                      # [TR, TC] int32
         occf = occ.astype(jnp.float32)
         nonempty = occ > 0
         out_ref[:] = own_ref[:]
         beta = beta_static if beta_static is not None else beta_ref[0, 0]
+        # NPT stored-frame convention: physical r^2 = s^2 * stored r^2
+        # (mcjax.ops.npt); scale2_ref is an SMEM scalar, absent from the
+        # compiled NVT program entirely (use_scale is static)
+        s2 = scale2_ref[0, 0] if use_scale else None
         gshape = (G,) + occ.shape
         # per-group slot index [g, TR, TC] (hoisted: same for every move)
         giota = jax.lax.broadcasted_iota(jnp.int32, gshape, 0)
@@ -176,10 +180,14 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 r2n = xs_new[0] * xs_new[0]
                 for d in range(1, dim):
                     r2n = r2n + xs_new[d] * xs_new[d]
+                if use_scale:
+                    r2n = s2 * r2n
                 if energetic:
                     r2o = xs_old[0] * xs_old[0]
                     for d in range(1, dim):
                         r2o = r2o + xs_old[d] * xs_old[d]
+                    if use_scale:
+                        r2o = s2 * r2o
                     if mixture:
                         term = (pair_s_fn(r2n, sx[None], sj)
                                 - pair_s_fn(r2o, sx[None], sj))
@@ -333,6 +341,7 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          shift_fn: ShiftFn = roll_shift_fn,
                          beta: jax.Array | float | None = None,
                          block_offset: jax.Array | None = None,
+                         scale: jax.Array | None = None,
                          *, tile_rows: int = 8, tile_cols: int = 128,
                          interpret: bool = False,
                          vma: tuple[str, ...] | None = None,
@@ -420,8 +429,11 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     else:
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
 
+    use_scale = scale is not None
+    scale2_arr = (jnp.asarray(scale, jnp.float32).reshape(1, 1) ** 2
+                  if use_scale else jnp.zeros((1, 1), jnp.float32))
     kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
-                          slot_group)
+                          slot_group, use_scale)
     grid = (rp // tile_rows, cp // tile_cols)
 
     def bspec(lead):
@@ -452,13 +464,16 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
             bspec(n_m),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(bspec(n_planes * nmax), bspec(1), bspec(1)),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)),
         interpret=interpret,
-    )(own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p, beta_arr)
+    )(own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p, beta_arr,
+      scale2_arr)
 
     # ---- unpad; output is already in the canonical planes layout ----------
     own_new = own_new_p.reshape(n_planes * nmax, padded)[:, :n_cells]

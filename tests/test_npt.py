@@ -119,3 +119,34 @@ def test_npt_volume_every_schedule():
     assert not acc[off_schedule].any()
     assert acc[[i for i in range(40) if (i + 1) % 4 == 0]].any()
     assert int(jnp.sum(st.sim.occ)) == cfg.n_atoms
+
+
+def test_npt_pallas_substep_bitwise_matches_xla():
+    """The Pallas kernel's SMEM scale plumbing (VERDICT r2 item 4): hard-core
+    NPT trajectories are bitwise identical between engines, and scale=1.0
+    through the Pallas kernel is bitwise NVT."""
+    from mcjax.ops.pallas_sweep import make_pallas_substep, \
+        pallas_color_substep
+
+    cfg = SimConfig(dim=2, n_atoms=48, box_length=12.0, cells_per_side=6,
+                    nmax=6, n_moves=3, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st0 = init_state(cfg, seed=4)
+    k = jax.random.key(9)
+    # scale=1 through the kernel == NVT kernel, bitwise
+    a = pallas_color_substep(cfg, hs, 0, st0.pos, st0.occ, k, interpret=True)
+    b = pallas_color_substep(cfg, hs, 0, st0.pos, st0.occ, k,
+                             scale=jnp.float32(1.0), interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    # full NPT run: Pallas engine == XLA engine bitwise (hard core)
+    sub = make_pallas_substep(interpret=True)
+    n1 = npt.init_npt(init_state(cfg, seed=4))
+    n2 = npt.init_npt(init_state(cfg, seed=4))
+    n1, m1 = npt.run_npt(cfg, hs, n1, 0.6, 12, 0.05)
+    n2, m2 = npt.run_npt(cfg, hs, n2, 0.6, 12, 0.05, 1, 0, sub)
+    np.testing.assert_array_equal(np.asarray(n1.sim.pos),
+                                  np.asarray(n2.sim.pos))
+    np.testing.assert_array_equal(np.asarray(n1.log_scale),
+                                  np.asarray(n2.log_scale))
+    assert float(jnp.abs(n1.log_scale)) > 0      # volume moves were live
