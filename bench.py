@@ -64,7 +64,13 @@ def bench_reference_lj(engine: str, sweeps: int) -> None:
     pot = LennardJones(r_cut=2.5)
     state = init_state(cfg)
     if engine == "pallas":
-        from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
+        from mcjax.ops.pallas_sweep import run_sweeps_pallas
+
+        def runner(cfg, pot, state, sweeps):
+            return run_sweeps_pallas(cfg, pot, state, sweeps, args.tile_rows,
+                                     128, False, args.pallas_shift,
+                                     args.neighbor_unroll, args.slot_group,
+                                     args.in_kernel_rng)
     else:
         from mcjax.ops.sweep import run_sweeps as runner
     st, m = runner(cfg, pot, state, sweeps)
@@ -138,7 +144,8 @@ def sharded_pallas_check() -> None:
 
 def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, neighbor_unroll: int,
-               pallas_shift: bool = False, slot_group: int = 8) -> None:
+               pallas_shift: bool = False, slot_group: int = 8,
+               in_kernel_rng: bool = False) -> None:
     """3D Lennard-Jones at the reference's own density (rho = 0.8,
     kernel.cu:17-29: 800 atoms in a 10^3 box) scaled to production N —
     the reference's physics, not just the 2D hard-disk headline
@@ -165,12 +172,12 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
                               False, pallas_shift, neighbor_unroll,
-                              slot_group)
+                              slot_group, in_kernel_rng)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, pot, st, sweeps, tile_rows, 128,
                                False, pallas_shift, neighbor_unroll,
-                               slot_group)
+                               slot_group, in_kernel_rng)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -270,6 +277,10 @@ def main() -> None:
     ap.add_argument("--neighbor-unroll", type=int, default=2)
     ap.add_argument("--slot-group", type=int, default=8,
                     help="pair slots per grouped [G, TR, TC] kernel op")
+    ap.add_argument("--in-kernel-rng", action="store_true",
+                    help="draw randoms from the TPU hardware PRNG inside "
+                         "the kernel (drops the 4 Threefry tensor inputs; "
+                         "not bitwise vs the XLA engine)")
     ap.add_argument("--pallas-shift", action="store_true",
                     help="use the Pallas grid-shift kernel (wins for 3D "
                          "where the XLA merge runs on lane-hostile tiles)")
@@ -282,7 +293,7 @@ def main() -> None:
         bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
                    args.nmax or 24,
                    args.tile_rows, args.neighbor_unroll, args.pallas_shift,
-                   args.slot_group)
+                   args.slot_group, args.in_kernel_rng)
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
@@ -311,7 +322,13 @@ def main() -> None:
             engine = "xla"
 
     if engine == "pallas":
-        from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
+        from mcjax.ops.pallas_sweep import run_sweeps_pallas
+
+        def runner(cfg, pot, state, sweeps):
+            return run_sweeps_pallas(cfg, pot, state, sweeps, args.tile_rows,
+                                     128, False, args.pallas_shift,
+                                     args.neighbor_unroll, args.slot_group,
+                                     args.in_kernel_rng)
     else:
         from mcjax.ops.sweep import run_sweeps as runner
 
