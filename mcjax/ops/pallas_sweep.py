@@ -132,9 +132,15 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             # selects the sequence; tiles decorrelate via program_id
             pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1],
                             pl.program_id(0), pl.program_id(1))
-        else:
+        elif energetic:
             (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
              pick_ref, disp_ref, accu_ref, beta_ref, scale2_ref,
+             out_ref, de_ref, acc_ref) = refs
+        else:
+            # pure hard-core accept rule never reads a uniform — the zero
+            # acceptance planes are dropped from the input stream entirely
+            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
+             pick_ref, disp_ref, beta_ref, scale2_ref,
              out_ref, de_ref, acc_ref) = refs
         occ = occ_ref[0]                      # [TR, TC] int32
         occf = occ.astype(jnp.float32)
@@ -202,7 +208,9 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     blk = out_ref[d * nmax + j0:d * nmax + j0 + g]
                     ji = (giota if g == G else giota_t)
                     sel = ji == (p - j0)[None]
-                    part = jnp.sum(jnp.where(sel, blk, 0.0), axis=0)
+                    # explicit pairwise tree, not an axis-reduce — Mosaic
+                    # lowers the tree as plain vector adds
+                    part = _sum0(jnp.where(sel, blk, 0.0))
                     v = part if v is None else v + part
                 old.append(v)
             sx = old[dim] if mixture else None
@@ -481,7 +489,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     if not in_kernel_rng:
         pick_p = to_tiles(pick_u, n_m)
         disp_p = to_tiles(disp, n_m * dim)
-        accu_p = to_tiles(acc_u, n_m)
+        if pot.has_energy:
+            accu_p = to_tiles(acc_u, n_m)
 
     beta_static = None
     if beta is None:
@@ -529,10 +538,15 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
         in_specs = common_specs + [sspec(2), sspec(), sspec()]
         args = (own_p, occ_p, nbr_p, nbrocc_p, lb_p, seed_arr, beta_arr,
                 scale2_arr)
-    else:
+    elif pot.has_energy:
         in_specs = common_specs + [bspec(n_m), bspec(n_m * dim), bspec(n_m),
                                    sspec(), sspec()]
         args = (own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p,
+                beta_arr, scale2_arr)
+    else:
+        in_specs = common_specs + [bspec(n_m), bspec(n_m * dim),
+                                   sspec(), sspec()]
+        args = (own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p,
                 beta_arr, scale2_arr)
 
     own_new_p, de_map, acc_map = pl.pallas_call(
