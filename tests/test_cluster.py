@@ -1,0 +1,169 @@
+"""Geometric cluster algorithm (ops/cluster.py) — parity vs brute-force BFS,
+hard-core invariants, mixtures, and the mixed sweep/cluster schedule.
+
+The reference has no cluster moves at all; the oracle here is an O(N^2)
+numpy BFS implementing the textbook Dress-Krauth recruitment rule with
+minimum-image distances.
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.mixtures import HardSphereMixture
+from mcjax.models.potentials import HardSphere, LennardJones
+from mcjax.ops import cells
+from mcjax.ops.cluster import gca_move, run_cluster_mix
+from mcjax.ops.mixture import init_mixture_state
+
+
+def _hard_disk_cfg(n=64, phi=0.35, nmax=8, seed=0):
+    box = math.sqrt(n * math.pi / 4.0 / phi)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=nmax, n_moves=2, proposal="uniform",
+                    step_size=0.15, beta=1.0, seed=seed)
+    pot = HardSphere(1.0)
+    cfg.validate_against(pot.r_cut)
+    return cfg, pot
+
+
+def _equilibrate(cfg, pot, sweeps=30):
+    from mcjax.ops.sweep import run_sweeps
+
+    state = init_state(cfg, positions=cells.stratified_positions(
+        cfg, min_separation=1.0))
+    state, _ = run_sweeps(cfg, pot, state, sweeps)
+    return state
+
+
+def _min_image(d, L):
+    return d - L * np.round(d / L)
+
+
+def _bruteforce_cluster(coords, pivot, seed_id, diam, L):
+    """Textbook BFS: j joins when a cluster member's reflection overlaps it."""
+    n = coords.shape[0]
+    img = 2.0 * pivot - coords          # min-image handles the wrap
+    in_c = np.zeros(n, bool)
+    in_c[seed_id] = True
+    frontier = [seed_id]
+    while frontier:
+        nxt = []
+        for i in frontier:
+            d = _min_image(img[i][None] - coords, L)
+            hit = (d ** 2).sum(1) < diam ** 2
+            for j in np.nonzero(hit & ~in_c)[0]:
+                in_c[j] = True
+                nxt.append(j)
+        frontier = nxt
+    return in_c
+
+
+def _pair_dist2(coords, L):
+    d = _min_image(coords[None] - coords[:, None], L)
+    r2 = (d ** 2).sum(-1)
+    np.fill_diagonal(r2, np.inf)
+    return r2
+
+
+def test_gca_matches_bruteforce():
+    cfg, pot = _hard_disk_cfg(n=64, phi=0.40)
+    state = _equilibrate(cfg, pot)
+    L = cfg.box_length
+
+    for trial in range(4):
+        key = jax.random.key(100 + trial)
+        # replicate gca_move's internal draws to drive the numpy oracle
+        kp, ks = jax.random.split(key)
+        pivot = np.asarray(jax.random.uniform(
+            kp, (2,), jnp.float32, -L / 2.0, L / 2.0))
+        seed_id = int(jax.random.randint(ks, (), 0, cfg.n_atoms))
+
+        before = np.asarray(cells.unbin(cfg, state.pos, state.occ))
+        expect_in = _bruteforce_cluster(before, pivot, seed_id, 1.0, L)
+        expect = before.copy()
+        expect[expect_in] = _min_image(2.0 * pivot - expect[expect_in], L)
+        # wrap into [-L/2, L/2) to compare against the slab state
+        expect = (expect + L / 2.0) % L - L / 2.0
+
+        state, size = gca_move(cfg, pot, state, key)
+        assert int(size) == int(expect_in.sum())
+        after = np.asarray(cells.unbin(cfg, state.pos, state.occ))
+        # unbin order is cell-major, not particle id — compare as point sets
+        np.testing.assert_allclose(
+            np.sort(after.round(4), axis=0),
+            np.sort(expect.astype(np.float32).round(4), axis=0), atol=2e-4)
+
+
+def test_gca_invariants_many_moves():
+    cfg, pot = _hard_disk_cfg(n=96, phi=0.45, nmax=8)
+    state = _equilibrate(cfg, pot)
+    key = jax.random.key(7)
+    sizes = []
+    for _ in range(8):
+        key, kc = jax.random.split(key)
+        state, size = gca_move(cfg, pot, state, kc)
+        sizes.append(int(size))
+    assert int(jnp.sum(state.occ)) == cfg.n_atoms
+    assert not bool(state.overflow)
+    coords = np.asarray(cells.unbin(cfg, state.pos, state.occ))
+    assert _pair_dist2(coords, cfg.box_length).min() >= 1.0 - 1e-5
+    assert min(sizes) >= 1  # the seed itself always moves
+
+
+def test_gca_rejects_soft_potentials():
+    cfg, _ = _hard_disk_cfg()
+    with pytest.raises(ValueError):
+        gca_move(cfg, LennardJones(r_cut=2.5),
+                 init_state(cfg), jax.random.key(0))
+
+
+def test_gca_mixture_species_conserved():
+    n = 60
+    pot = HardSphereMixture(diameter=((1.0, 0.85), (0.85, 0.7)))
+    phi_eff = 0.30
+    box = math.sqrt(n * math.pi * 1.0 / 4.0 / phi_eff)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=8, n_moves=2, proposal="uniform", step_size=0.12,
+                    beta=1.0, seed=1)
+    spec = (jnp.arange(n) % 3 == 0).astype(jnp.int32)  # 1/3 small
+    state = init_mixture_state(
+        cfg, cells.stratified_positions(cfg, min_separation=1.0), spec)
+
+    key = jax.random.key(11)
+    n_small_before = int(jnp.sum(spec))
+    for _ in range(5):
+        key, kc = jax.random.split(key)
+        state, _ = gca_move(cfg, pot, state, kc)
+    out = np.asarray(cells.unbin(cfg, state.pos, state.occ))
+    assert out.shape[1] == 3  # x, y, species plane rides along
+    assert int(out[:, 2].round().sum()) == n_small_before
+    # per-pair contact distances respected
+    coords, sp = out[:, :2], out[:, 2].round().astype(int)
+    d = _min_image(coords[None] - coords[:, None], cfg.box_length)
+    r = np.sqrt((d ** 2).sum(-1))
+    np.fill_diagonal(r, np.inf)
+    dmat = np.array([[1.0, 0.85], [0.85, 0.7]])
+    assert (r >= dmat[sp[:, None], sp[None]] - 1e-5).all()
+
+
+def test_run_cluster_mix_schedule():
+    cfg, pot = _hard_disk_cfg(n=64, phi=0.40)
+    state = _equilibrate(cfg, pot, sweeps=10)
+    state, sizes = run_cluster_mix(cfg, pot, state, n_rounds=3,
+                                   sweeps_per_round=2, clusters_per_round=2)
+    assert sizes.shape == (3, 2)
+    assert int(jnp.sum(state.occ)) == cfg.n_atoms
+    assert (np.asarray(sizes) >= 1).all()
+    coords = np.asarray(cells.unbin(cfg, state.pos, state.occ))
+    assert _pair_dist2(coords, cfg.box_length).min() >= 1.0 - 1e-5
