@@ -275,8 +275,10 @@ def main() -> None:
                     default="hard-disk")
     ap.add_argument("--tile-rows", type=int, default=0)
     ap.add_argument("--neighbor-unroll", type=int, default=2)
-    ap.add_argument("--slot-group", type=int, default=8,
-                    help="pair slots per grouped [G, TR, TC] kernel op")
+    ap.add_argument("--slot-group", type=int, default=None,
+                    help="pair slots per grouped [G, TR, TC] kernel op "
+                         "(default: measured winners — 1 for 2D hard-disk, "
+                         "2 for lj3d, 8 for ka3d; r3 tuning log)")
     ap.add_argument("--in-kernel-rng", action="store_true",
                     help="draw randoms from the TPU hardware PRNG inside "
                          "the kernel (drops the 4 Threefry tensor inputs; "
@@ -292,14 +294,17 @@ def main() -> None:
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
                    args.nmax or 24,
-                   args.tile_rows, args.neighbor_unroll, args.pallas_shift,
-                   args.slot_group, args.in_kernel_rng)
+                   args.tile_rows or 16, args.neighbor_unroll,
+                   args.pallas_shift,
+                   args.slot_group or 2, args.in_kernel_rng)
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
-        bench_ka3d(n, min(args.sweeps, 30), args.moves or 30,
-                   args.nmax or 38, args.tile_rows, args.slot_group)
+        bench_ka3d(n, min(args.sweeps, 30), args.moves or 60,
+                   args.nmax or 38, args.tile_rows, args.slot_group or 8)
         return
+    if args.slot_group is None:
+        args.slot_group = 1   # 2D hard-disk: grouping hurts (r3 tuning)
     if args.moves is None:
         args.moves = 64
     if args.nmax is None:

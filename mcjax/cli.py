@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="record a frame every k chunks")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--clusters", type=int, default=0, metavar="K",
+                   help="geometric cluster moves per chunk (Dress-Krauth "
+                        "hard-core GCA / Liu-Luijten energetic bonds; "
+                        "rejection-free pivot reflections — ops/cluster.py)")
     p.add_argument("--gr", action="store_true",
                    help="print g(r) histogram at the end (cell-list pass at "
                         "large N, O(N^2) pass at small N)")
@@ -318,6 +322,16 @@ def main(argv=None) -> int:
             for i in range(args.trace_every - 1, chunk, args.trace_every):
                 print(f"{s0 + i + 1}: {trace[i]:.6f}")
         e += float(np.sum(de_per_sweep))
+        if args.clusters:
+            import jax as _jax
+
+            from mcjax.ops.cluster import gca_move
+            ck = _jax.random.fold_in(state.key, 0x6C75 + int(state.sweep))
+            for _ in range(args.clusters):
+                ck, kc = _jax.random.split(ck)
+                state, _size = gca_move(cfg, pot, state, kc)
+            if pot.has_energy:
+                e = exact_energy(state)  # cluster moves shift the anchor
         if args.reanchor_every and (c + 1) % args.reanchor_every == 0:
             e = exact_energy(state)
         if not args.quiet and not args.trace_every:

@@ -54,19 +54,61 @@ def _pair_overlap(pot: Potential, r2, si=None, sj=None):
     return pot.overlap(r2)
 
 
+def _pair_energy(pot: Potential, r2, si=None, sj=None):
+    if getattr(pot, "is_mixture", False):
+        return pot.pair_energy_s(r2, si, sj)
+    return pot.pair_energy(r2)
+
+
+def _mix32(x):
+    """murmur3 finalizer (uint32): full avalanche in 5 ops."""
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    return x
+
+
+def _pair_uniform(salt, ida, idb):
+    """Deterministic symmetric per-pair uniform in [0, 1).
+
+    The Liu-Luijten bond between particles i and j must be decided by ONE
+    uniform per unordered pair per move — with a per-(round, member)
+    redraw the parallel fixpoint would compound bond probabilities.  A
+    keyed symmetric hash gives every pair its uniform up front, making the
+    label-propagation closure exactly the serial BFS closure over the same
+    bond realization.  Two murmur3 finalizer rounds over (min, max, salt)
+    — integer avalanche quality, which is what a bond decision needs; the
+    *move* randomness (pivot, seed) stays on the Threefry tree.
+    """
+    a = jnp.minimum(ida, idb).astype(jnp.uint32)
+    b = jnp.maximum(ida, idb).astype(jnp.uint32)
+    h = _mix32(a ^ salt[0])
+    h = _mix32(h + b * jnp.uint32(0x9E3779B9) ^ salt[1])
+    # int32 view of the top 24 bits -> exact f32 uniform
+    h = jax.lax.shift_right_logical(h, jnp.uint32(8))
+    return (jax.lax.bitcast_convert_type(h, jnp.int32)
+            ).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
 @partial(jax.jit, static_argnums=(0, 1, 4))
 def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
              img_capacity: int | None = None
              ) -> tuple[SimState, jax.Array]:
     """One geometric cluster move on a hard-core state.
 
+    Bond rule (Liu & Luijten, PRL 92, 035504 (2004), of which Dress-Krauth
+    is the hard-core limit): outsider j bonds to cluster member i with
+    probability ``p = 1 - exp(-beta * max(E(|T(r_i) - r_j|) -
+    E(|r_i - r_j|), 0))`` — certainly (p = 1) when the reflected member
+    overlaps j's hard core.  The move is rejection-free for ANY pair
+    potential; cfg.beta supplies the temperature for the energetic part.
+
     Args:
-      cfg/pot: pot must have a hard core (``pot.has_hard_core``); the
-        energetic tail, if any, is ignored by the bond rule, so for
-        potentials with both (e.g. square-well) the move samples the
-        hard-core reference system — mix with Metropolis sweeps for the
-        full Boltzmann measure.  Pure hard-core models (HardSphere and
-        hard-sphere mixtures) are sampled exactly.
+      cfg/pot: any potential with a hard core and/or a pair energy —
+        HardSphere and hard-sphere mixtures are the classic GCA; LJ,
+        square-well, Yukawa, and LJ mixtures get full Liu-Luijten bonds.
       state: slab state; mixtures' species plane rides along untouched.
       key: one-shot Threefry key (caller splits; ``state.key`` is not
         consumed here so cluster moves compose with the sweep schedule's
@@ -79,11 +121,14 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
     Returns:
       (new_state, cluster_size).  Rejection-free: the move always applies.
     """
-    if not pot.has_hard_core:
-        raise ValueError("gca_move requires a hard-core potential "
-                         "(the Dress-Krauth bond rule is the overlap test)")
+    hard = pot.has_hard_core
+    energetic = getattr(pot, "has_energy", False)
+    if not (hard or energetic):
+        raise ValueError("gca_move needs a potential with a hard core "
+                         "and/or a pair energy")
     dim, nmax, L = cfg.dim, cfg.nmax, cfg.box_length
     n = cfg.n_atoms
+    beta = cfg.beta
     mixture = getattr(pot, "is_mixture", False)
     if img_capacity is None:
         img_capacity = 2 * nmax
@@ -94,28 +139,33 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
     coords = flat[:, :dim]
     attrs = flat[:, dim:]                              # species etc.
 
-    kp, ks = jax.random.split(key)
+    ksalt, kp, ks = jax.random.split(key, 3)
+    salt = jax.random.bits(ksalt, (2,), jnp.uint32)
     pivot = jax.random.uniform(kp, (dim,), jnp.float32, -L / 2.0, L / 2.0)
     img = cells.wrap_into_box(2.0 * pivot - coords, L)
 
     ids = jnp.arange(n, dtype=jnp.float32)[:, None]
-    # image slab: coords + (species) + flat id; capacity 2*nmax
-    img_extra = jnp.concatenate([attrs, ids], axis=1)
+    # image slab planes: img coords | orig coords (energetic bonds need the
+    # pre-move pair distance) | attrs | flat id; capacity 2*nmax
+    img_extra = jnp.concatenate(
+        ([coords] if energetic else []) + [attrs, ids], axis=1)
     ipos, iocc, ioverflow = cells.bin_particles(icfg, img, extra=img_extra)
     # real slab re-binned with the id plane so per-slot flags can be
     # scattered back to flat ids (state.pos has no id plane)
     rpos, rocc, _ = cells.bin_particles(
         cfg, coords, extra=jnp.concatenate([attrs, ids], axis=1))
 
+    o0 = dim if energetic else None              # orig-coord plane base
+    a0 = dim + (dim if energetic else 0)         # attr plane base (image slab)
     id_plane_r = rpos[:, -1].astype(jnp.int32)         # [colors, nmax, *bs]
-    id_plane_i = ipos[:, -1].astype(jnp.int32)
     sp_r = rpos[:, dim] if mixture else None
-    sp_i = ipos[:, dim] if mixture else None
 
     # image neighbor stacks per color, built once (the image slab is frozen
     # during cluster growth): center block + the 3^dim - 1 shifted reads,
-    # coordinates pre-unwrapped across the periodic boundary
-    nbr_pos, nbr_occ, nbr_ids, nbr_sp = [], [], [], []
+    # coordinates pre-unwrapped across the periodic boundary.  Only the
+    # first dim (image-coordinate) planes get the unwrap adjustment; the
+    # orig-coordinate planes use explicit minimum image below.
+    nbr_pos, nbr_occ, nbr_ids, nbr_sp, nbr_orig = [], [], [], [], []
     for color in range(cfg.n_colors):
         np_, no_ = cells.neighbor_stack(icfg, ipos, iocc, color)
         # append the center (same-color, unshifted) image block as slab K
@@ -124,7 +174,25 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
         nbr_pos.append(np_[:, :dim])
         nbr_ids.append(np_[:, -1].astype(jnp.int32))
         nbr_occ.append(no_)
-        nbr_sp.append(np_[:, dim] if mixture else None)
+        nbr_sp.append(np_[:, a0] if mixture else None)
+        nbr_orig.append(np_[:, o0:o0 + dim] if energetic else None)
+
+    # For energetic bonds a SECOND candidate neighborhood exists: breaking
+    # an attractive old pair (E_old < 0, E_new = 0) also bonds with
+    # p = 1 - exp(beta * E_old) — those j are near the member's ORIGINAL
+    # position, not its image.  Build real-slab neighbor stacks (center
+    # appended) for that sweep; the real slab is equally frozen during
+    # growth.
+    if energetic:
+        rnbr_pos, rnbr_rocc, rnbr_ids, rnbr_sp = [], [], [], []
+        for color in range(cfg.n_colors):
+            np_, no_ = cells.neighbor_stack(cfg, rpos, rocc, color)
+            np_ = jnp.concatenate([np_, rpos[color][None]], axis=0)
+            no_ = jnp.concatenate([no_, rocc[color][None]], axis=0)
+            rnbr_pos.append(np_[:, :dim])
+            rnbr_ids.append(np_[:, -1].astype(jnp.int32))
+            rnbr_rocc.append(no_)
+            rnbr_sp.append(np_[:, dim] if mixture else None)
 
     # ---- seed -------------------------------------------------------------
     seed_id = jax.random.randint(ks, (), 0, n)
@@ -139,6 +207,11 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
         (jnp.arange(nmax, dtype=jnp.int32).reshape(
             (nmax,) + (1,) * dim) < rocc[c][None])
         for c in range(cfg.n_colors)]
+    if energetic:
+        rslot_valid = [
+            (jnp.arange(nmax, dtype=jnp.int32).reshape(
+                (nmax,) + (1,) * dim) < rnbr_rocc[c][:, None])
+            for c in range(cfg.n_colors)]
 
     def recruit(flags):
         """One frontier expansion: returns the updated flat flag vector."""
@@ -154,12 +227,55 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
                 for d in range(dim):
                     dx = (rpos[c, d][:, None] - nbr_pos[c][k, d][None])
                     r2 = dx * dx if r2 is None else r2 + dx * dx
-                if mixture:
-                    ov = _pair_overlap(pot, r2, sp_r[c][:, None],
-                                       nbr_sp[c][k][None])
-                else:
-                    ov = _pair_overlap(pot, r2)
-                hit = hit | jnp.any(ov & act[None], axis=1)
+                si = sp_r[c][:, None] if mixture else None
+                sj = nbr_sp[c][k][None] if mixture else None
+                bond = None
+                if hard:
+                    bond = _pair_overlap(pot, r2, si, sj)
+                if energetic:
+                    # pre-move pair distance |r_i - r_j| via explicit
+                    # minimum image (the member's original position can be
+                    # anywhere in the box relative to j's cell)
+                    r2o = None
+                    for d in range(dim):
+                        dx = (rpos[c, d][:, None]
+                              - nbr_orig[c][k, d][None])
+                        dx = dx - L * jnp.round(dx * jnp.float32(1.0 / L))
+                        r2o = dx * dx if r2o is None else r2o + dx * dx
+                    de = (_pair_energy(pot, r2, si, sj)
+                          - _pair_energy(pot, r2o, si, sj))
+                    p = -jnp.expm1(-beta * jnp.maximum(de, 0.0))
+                    u = _pair_uniform(salt, id_plane_r[c][:, None],
+                                      nbr_ids[c][k][None])
+                    eb = u < p
+                    bond = eb if bond is None else bond | eb
+                hit = hit | jnp.any(bond & act[None], axis=1)
+            if energetic:
+                # broken-old-bond sweep: flagged member i rides the REAL
+                # neighbor slots; candidate j is the center slot.  The new
+                # pair distance |T(r_i) - r_j| needs explicit minimum image
+                # (the image can be anywhere relative to j's cell).
+                mflag = flags[rnbr_ids[c]]              # [K, nmax, *bs]
+                for k in range(rnbr_pos[c].shape[0]):
+                    act = mflag[k] & rslot_valid[c][k]   # [nmax, *bs]
+                    r2o = None
+                    r2n = None
+                    for d in range(dim):
+                        ri = rnbr_pos[c][k, d][None]     # member (unwrapped)
+                        rj = rpos[c, d][:, None]         # candidate
+                        dxo = rj - ri
+                        dxn = rj - (2.0 * pivot[d] - ri)
+                        dxn = dxn - L * jnp.round(dxn * jnp.float32(1.0 / L))
+                        r2o = dxo * dxo if r2o is None else r2o + dxo * dxo
+                        r2n = dxn * dxn if r2n is None else r2n + dxn * dxn
+                    si = sp_r[c][:, None] if mixture else None
+                    sj = rnbr_sp[c][k][None] if mixture else None
+                    de = (_pair_energy(pot, r2n, si, sj)
+                          - _pair_energy(pot, r2o, si, sj))
+                    p = -jnp.expm1(-beta * jnp.maximum(de, 0.0))
+                    u = _pair_uniform(salt, id_plane_r[c][:, None],
+                                      rnbr_ids[c][k][None])
+                    hit = hit | jnp.any((u < p) & act[None], axis=1)
             hit = hit & slot_valid_r[c]
             new = new.at[id_plane_r[c]].max(hit, mode="drop")
         return new
@@ -185,6 +301,7 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
     return new_state, jnp.sum(flags)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7))
 def run_cluster_mix(cfg: SimConfig, pot: Potential, state: SimState,
                     n_rounds: int, sweeps_per_round: int = 1,
                     clusters_per_round: int = 1, substep_fn=None,
@@ -201,22 +318,18 @@ def run_cluster_mix(cfg: SimConfig, pot: Potential, state: SimState,
     """
     from mcjax.ops import sweep as xla_sweep
 
-    @partial(jax.jit, static_argnums=())
-    def run(state):
-        def round_body(st, _):
-            def sweep_body(s, _):
-                s, m = xla_sweep.mc_sweep(cfg, pot, s, substep_fn=substep_fn)
-                return s, None
-            st, _ = jax.lax.scan(sweep_body, st, length=sweeps_per_round)
+    def round_body(st, _):
+        def sweep_body(s, _):
+            s, m = xla_sweep.mc_sweep(cfg, pot, s, substep_fn=substep_fn)
+            return s, None
+        st, _ = jax.lax.scan(sweep_body, st, length=sweeps_per_round)
 
-            def cl_body(s, _):
-                kc, knext = jax.random.split(s.key)
-                s2, size = gca_move(cfg, pot, s, kc, img_capacity)
-                s2 = dataclasses.replace(s2, key=knext)
-                return s2, size
-            st, sizes = jax.lax.scan(cl_body, st, length=clusters_per_round)
-            return st, sizes
+        def cl_body(s, _):
+            kc, knext = jax.random.split(s.key)
+            s2, size = gca_move(cfg, pot, s, kc, img_capacity)
+            s2 = dataclasses.replace(s2, key=knext)
+            return s2, size
+        st, sizes = jax.lax.scan(cl_body, st, length=clusters_per_round)
+        return st, sizes
 
-        return jax.lax.scan(round_body, state, length=n_rounds)
-
-    return run(state)
+    return jax.lax.scan(round_body, state, length=n_rounds)

@@ -62,9 +62,12 @@ def _uniform_01(bits):
     """Top-24-bit random word -> f32 uniform in [0, 1) (exact ulp spacing).
 
     prng_random_bits returns int32 words; mask the sign bit away via the
-    unsigned view before the shift."""
+    unsigned view before the shift.  Mosaic has no uint32->f32 cast, so the
+    shifted word (top 8 bits zero) is bitcast back to int32 — same value —
+    before the int32->f32 convert."""
     u = jax.lax.bitcast_convert_type(bits, jnp.uint32)
-    return (jax.lax.shift_right_logical(u, jnp.uint32(8))
+    u = jax.lax.shift_right_logical(u, jnp.uint32(8))
+    return (jax.lax.bitcast_convert_type(u, jnp.int32)
             ).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
@@ -129,9 +132,12 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
              out_ref, de_ref, acc_ref) = refs
             # per-core stream: (substep key data, tile coordinates) — the
             # same (key, sweep, color, shard) tree as the host-Threefry path
-            # selects the sequence; tiles decorrelate via program_id
-            pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1],
-                            pl.program_id(0), pl.program_id(1))
+            # selects the sequence; tiles decorrelate via the linear tile id
+            # folded into both seed words (Mosaic caps prng_seed at 2 values)
+            tid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+            pltpu.prng_seed(
+                seed_ref[0, 0] + tid * jnp.int32(-1640531527),  # golden ratio
+                seed_ref[0, 1] ^ (tid + jnp.int32(0x3C6EF372)))
         elif energetic:
             (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
              pick_ref, disp_ref, accu_ref, beta_ref, scale2_ref,

@@ -82,7 +82,7 @@ def test_gca_matches_bruteforce():
     for trial in range(4):
         key = jax.random.key(100 + trial)
         # replicate gca_move's internal draws to drive the numpy oracle
-        kp, ks = jax.random.split(key)
+        _ksalt, kp, ks = jax.random.split(key, 3)
         pivot = np.asarray(jax.random.uniform(
             kp, (2,), jnp.float32, -L / 2.0, L / 2.0))
         seed_id = int(jax.random.randint(ks, (), 0, cfg.n_atoms))
@@ -119,11 +119,125 @@ def test_gca_invariants_many_moves():
     assert min(sizes) >= 1  # the seed itself always moves
 
 
-def test_gca_rejects_soft_potentials():
-    cfg, _ = _hard_disk_cfg()
-    with pytest.raises(ValueError):
-        gca_move(cfg, LennardJones(r_cut=2.5),
-                 init_state(cfg), jax.random.key(0))
+def _mix32_np(x):
+    x = np.uint32(x)
+    x ^= x >> np.uint32(16)
+    x = np.uint32(x * np.uint32(0x85EBCA6B))
+    x ^= x >> np.uint32(13)
+    x = np.uint32(x * np.uint32(0xC2B2AE35))
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def _pair_uniform_np(salt, i, j):
+    a, b = np.uint32(min(i, j)), np.uint32(max(i, j))
+    h = _mix32_np(a ^ np.uint32(salt[0]))
+    h = _mix32_np(np.uint32(h + np.uint32(b * np.uint32(0x9E3779B9)))
+                  ^ np.uint32(salt[1]))
+    return float(h >> np.uint32(8)) / float(1 << 24)
+
+
+def test_liu_luijten_matches_bruteforce():
+    """Energetic (LJ) cluster move == numpy BFS over the SAME bond
+    realization (shared symmetric pair-uniform hash)."""
+    import warnings
+    warnings.filterwarnings("ignore", "overflow")
+    n, rho, T = 48, 0.4, 2.0
+    box = math.sqrt(n / rho)
+    cps = int(box // 2.5)
+    cps -= cps % 2
+    pot = LennardJones(r_cut=2.5)
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=2, proposal="gaussian", step_size=0.15,
+                    beta=1.0 / T, seed=3)
+    cfg.validate_against(pot.r_cut)
+    from mcjax.ops.sweep import run_sweeps
+
+    state = init_state(cfg, positions=cells.stratified_positions(cfg))
+    state, _ = run_sweeps(cfg, pot, state, 20)
+    L = cfg.box_length
+
+    for trial in range(3):
+        key = jax.random.key(500 + trial)
+        ksalt, kp, ks = jax.random.split(key, 3)
+        salt = np.asarray(jax.random.bits(ksalt, (2,), jnp.uint32))
+        pivot = np.asarray(jax.random.uniform(
+            kp, (2,), jnp.float32, -L / 2.0, L / 2.0))
+        seed_id = int(jax.random.randint(ks, (), 0, n))
+
+        before = np.asarray(cells.unbin(cfg, state.pos, state.occ))
+
+        def pair_e(r2):
+            return float(pot.pair_energy(jnp.float32(r2)))
+
+        img = 2.0 * pivot - before
+        in_c = np.zeros(n, bool)
+        in_c[seed_id] = True
+        frontier = [seed_id]
+        while frontier:
+            nxt = []
+            for i in frontier:
+                for j in range(n):
+                    if in_c[j]:
+                        continue
+                    dn = _min_image(img[i] - before[j], L).astype(np.float32)
+                    do = _min_image(before[i] - before[j], L
+                                    ).astype(np.float32)
+                    de = (pair_e(float((dn ** 2).sum()))
+                          - pair_e(float((do ** 2).sum())))
+                    p = -math.expm1(-cfg.beta * max(de, 0.0))
+                    if _pair_uniform_np(salt, i, j) < p:
+                        in_c[j] = True
+                        nxt.append(j)
+            frontier = nxt
+        expect = before.copy()
+        expect[in_c] = _min_image(2.0 * pivot - expect[in_c], L)
+        expect = (expect + L / 2.0) % L - L / 2.0
+
+        state, size = gca_move(cfg, pot, state, key)
+        assert int(size) == int(in_c.sum()), f"trial {trial}"
+        after = np.asarray(cells.unbin(cfg, state.pos, state.occ))
+        np.testing.assert_allclose(
+            np.sort(after.round(4), axis=0),
+            np.sort(expect.astype(np.float32).round(4), axis=0), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_liu_luijten_preserves_equilibrium():
+    """Mean LJ energy with interleaved cluster moves == sweeps-only, within
+    combined statistical error (the standard detailed-balance check)."""
+    n, rho, T = 64, 0.5, 1.5
+    box = math.sqrt(n / rho)
+    cps = int(box // 2.5)
+    cps -= cps % 2
+    pot = LennardJones(r_cut=2.5)
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=12, n_moves=4, proposal="gaussian", step_size=0.12,
+                    beta=1.0 / T, seed=9)
+    from mcjax.ops.sweep import run_sweeps, total_energy_cells
+
+    def mean_e(with_clusters, seed, rounds=60, burn=20):
+        st = init_state(cfg, seed=seed,
+                        positions=cells.stratified_positions(cfg))
+        st, _ = run_sweeps(cfg, pot, st, 40)  # equilibrate
+        es = []
+        for r in range(rounds):
+            if with_clusters:
+                st, _ = run_cluster_mix(cfg, pot, st, n_rounds=1,
+                                        sweeps_per_round=4,
+                                        clusters_per_round=2)
+            else:
+                st, _ = run_sweeps(cfg, pot, st, 4)
+            if r >= burn:
+                es.append(float(total_energy_cells(cfg, pot, st.pos,
+                                                   st.occ)))
+        es = np.array(es)
+        return es.mean(), es.std() / math.sqrt(len(es))
+
+    m0, s0 = mean_e(False, seed=1)
+    m1, s1 = mean_e(True, seed=2)
+    assert abs(m0 - m1) < 4.0 * math.hypot(s0, s1) + 0.02 * abs(m0), \
+        f"sweeps-only {m0:.3f}+-{s0:.3f} vs clusters {m1:.3f}+-{s1:.3f}"
 
 
 def test_gca_mixture_species_conserved():

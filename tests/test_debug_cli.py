@@ -206,3 +206,21 @@ def test_cli_mixture_json(tmp_path):
                   "--beta", "1.0", "--sigma", "0.09", "--sweeps", "2",
                   "--chunk", "2", "--engine", "xla")
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_cli_cluster_moves(tmp_path):
+    # hard disks with GCA cluster moves interleaved per chunk
+    out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "128",
+                  "--phi", "0.40", "--n-moves", "2", "--sweeps", "4",
+                  "--chunk", "2", "--clusters", "2", "--engine", "xla",
+                  "--checkpoint", str(tmp_path / "ck.npz"))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "ck.npz").exists()
+    # energetic model: Liu-Luijten bonds + exact re-anchor keeps the trace
+    out2 = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "128",
+                   "--rho", "0.5", "--beta", "0.8", "--n-moves", "2",
+                   "--sweeps", "4", "--chunk", "2", "--clusters", "1",
+                   "--engine", "xla")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    lines = [l for l in out2.stdout.splitlines() if ":" in l]
+    assert lines[-1].startswith("4:")
