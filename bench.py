@@ -70,7 +70,7 @@ def bench_reference_lj(engine: str, sweeps: int) -> None:
             return run_sweeps_pallas(cfg, pot, state, sweeps, args.tile_rows,
                                      128, False, args.pallas_shift,
                                      args.neighbor_unroll, args.slot_group,
-                                     args.in_kernel_rng)
+                                     args.in_kernel_rng, args.fused)
     else:
         from mcjax.ops.sweep import run_sweeps as runner
     st, m = runner(cfg, pot, state, sweeps)
@@ -145,7 +145,7 @@ def sharded_pallas_check() -> None:
 def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, neighbor_unroll: int,
                pallas_shift: bool = False, slot_group: int = 8,
-               in_kernel_rng: bool = False) -> None:
+               in_kernel_rng: bool = False, fused: bool = False) -> None:
     """3D Lennard-Jones at the reference's own density (rho = 0.8,
     kernel.cu:17-29: 800 atoms in a 10^3 box) scaled to production N —
     the reference's physics, not just the 2D hard-disk headline
@@ -172,12 +172,12 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
                               False, pallas_shift, neighbor_unroll,
-                              slot_group, in_kernel_rng)
+                              slot_group, in_kernel_rng, fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, pot, st, sweeps, tile_rows, 128,
                                False, pallas_shift, neighbor_unroll,
-                               slot_group, in_kernel_rng)
+                               slot_group, in_kernel_rng, fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -200,7 +200,8 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
 
 def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
-               tile_rows: int, slot_group: int = 8) -> None:
+               tile_rows: int, slot_group: int = 8,
+               fused: bool = False) -> None:
     """Kob-Andersen 80:20 binary LJ mixture at rho=1.2, T=0.8 (the canonical
     glass former) at production N on the Pallas mixture kernel — per-pair
     (eps, sigma, r_cut) resolved in-kernel from the species plane. The
@@ -225,11 +226,11 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     state = init_mixture_state(cfg, stratified_positions(cfg), spec)
 
     st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
-                              False, False, 2, slot_group)
+                              False, False, 2, slot_group, False, fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
-                               False, False, 2, slot_group)
+                               False, False, 2, slot_group, False, fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -279,6 +280,9 @@ def main() -> None:
                     help="pair slots per grouped [G, TR, TC] kernel op "
                          "(default: measured winners — 1 for 2D hard-disk, "
                          "2 for lj3d, 8 for ka3d; r3 tuning log)")
+    ap.add_argument("--fused", action="store_true",
+                    help="in-kernel halo DMA sub-sweep (no materialized "
+                         "neighbor stack; single-chip flat path)")
     ap.add_argument("--in-kernel-rng", action="store_true",
                     help="draw randoms from the TPU hardware PRNG inside "
                          "the kernel (drops the 4 Threefry tensor inputs; "
@@ -296,12 +300,13 @@ def main() -> None:
                    args.nmax or 24,
                    args.tile_rows or 16, args.neighbor_unroll,
                    args.pallas_shift,
-                   args.slot_group or 2, args.in_kernel_rng)
+                   args.slot_group or 2, args.in_kernel_rng, args.fused)
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_ka3d(n, min(args.sweeps, 30), args.moves or 60,
-                   args.nmax or 38, args.tile_rows, args.slot_group or 8)
+                   args.nmax or 38, args.tile_rows, args.slot_group or 8,
+                   args.fused)
         return
     if args.slot_group is None:
         args.slot_group = 1   # 2D hard-disk: grouping hurts (r3 tuning)
@@ -333,7 +338,7 @@ def main() -> None:
             return run_sweeps_pallas(cfg, pot, state, sweeps, args.tile_rows,
                                      128, False, args.pallas_shift,
                                      args.neighbor_unroll, args.slot_group,
-                                     args.in_kernel_rng)
+                                     args.in_kernel_rng, args.fused)
     else:
         from mcjax.ops.sweep import run_sweeps as runner
 

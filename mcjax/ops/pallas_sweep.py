@@ -38,6 +38,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -125,11 +126,13 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     gaussian = cfg.proposal == "gaussian"
     step = cfg.step_size
 
-    def kernel(*refs):
+    def body(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref, pick_ref,
+             disp_ref, accu_ref, seed_ref, beta_ref, scale2_ref,
+             out_ref, de_ref, acc_ref):
+        """The move chain on tile-local refs.  ``nbr_ref``/``nbrocc_ref``
+        may be pipeline input blocks (classic path) or VMEM scratch filled
+        by in-kernel DMA (fused path) — identical layout either way."""
         if in_kernel_rng:
-            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
-             seed_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref) = refs
             # per-core stream: (substep key data, tile coordinates) — the
             # same (key, sweep, color, shard) tree as the host-Threefry path
             # selects the sequence; tiles decorrelate via the linear tile id
@@ -138,16 +141,6 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             pltpu.prng_seed(
                 seed_ref[0, 0] + tid * jnp.int32(-1640531527),  # golden ratio
                 seed_ref[0, 1] ^ (tid + jnp.int32(0x3C6EF372)))
-        elif energetic:
-            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
-             pick_ref, disp_ref, accu_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref) = refs
-        else:
-            # pure hard-core accept rule never reads a uniform — the zero
-            # acceptance planes are dropped from the input stream entirely
-            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
-             pick_ref, disp_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref) = refs
         occ = occ_ref[0]                      # [TR, TC] int32
         occf = occ.astype(jnp.float32)
         nonempty = occ > 0
@@ -382,6 +375,29 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
         de_ref[0] = de_acc
         acc_ref[0] = acc_acc
 
+    def kernel(*refs):
+        if in_kernel_rng:
+            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
+             seed_ref, beta_ref, scale2_ref,
+             out_ref, de_ref, acc_ref) = refs
+            pick_ref = disp_ref = accu_ref = None
+        elif energetic:
+            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
+             pick_ref, disp_ref, accu_ref, beta_ref, scale2_ref,
+             out_ref, de_ref, acc_ref) = refs
+            seed_ref = None
+        else:
+            # pure hard-core accept rule never reads a uniform — the zero
+            # acceptance planes are dropped from the input stream entirely
+            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
+             pick_ref, disp_ref, beta_ref, scale2_ref,
+             out_ref, de_ref, acc_ref) = refs
+            accu_ref = seed_ref = None
+        body(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref, pick_ref,
+             disp_ref, accu_ref, seed_ref, beta_ref, scale2_ref,
+             out_ref, de_ref, acc_ref)
+
+    kernel.body = body
     return kernel
 
 
@@ -575,6 +591,323 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     return own_new, de, n_acc, n_prop
 
 
+def _fused_geometry(cfg: SimConfig):
+    """Static offsets for the fused (in-kernel halo DMA) sub-sweep.
+
+    Returns (strides, maxoff, M2): flat row-major strides per grid axis,
+    the largest |source - destination| flat-cell offset any neighbor read
+    (including interior edge corrections) can need, and that bound rounded
+    up to the 128-lane row granularity of the super-range window.
+    """
+    bs = cfg.block_shape
+    dim = cfg.dim
+    strides = [int(np.prod(bs[k + 1:], dtype=np.int64)) for k in range(dim)]
+    base_max = sum(strides)
+    corr_max = sum(bs[k] * strides[k] for k in range(1, dim))
+    maxoff = base_max + corr_max
+    return strides, maxoff, _round_up(maxoff, 128)
+
+
+def _fused_masks_np(bs: tuple[int, ...], padded: int) -> np.ndarray:
+    """[2*dim, padded] f32 destination edge masks (plane 2k = high edge of
+    axis k, 2k+1 = low edge), zero in the tile-padding region."""
+    from mcjax.ops.cells import _flat_wrap_masks_np
+
+    dim = len(bs)
+    masks = _flat_wrap_masks_np(bs)
+    out = np.zeros((2 * dim, padded), np.float32)
+    p = int(np.prod(bs, dtype=np.int64))
+    for k in range(dim):
+        out[2 * k, :p] = masks[(k, 1)]
+        out[2 * k + 1, :p] = masks[(k, -1)]
+    return out
+
+
+def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
+                               pos: jax.Array, occ: jax.Array,
+                               key: jax.Array,
+                               beta: jax.Array | float | None = None,
+                               scale: jax.Array | None = None,
+                               *, tile_rows: int = 8, tile_cols: int = 128,
+                               interpret: bool = False,
+                               neighbor_unroll: int = 1,
+                               slot_group: int = 8,
+                               in_kernel_rng: bool = False
+                               ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                          jax.Array]:
+    """color_substep with IN-KERNEL neighbor reads — no materialized stack.
+
+    The classic path materializes the 3^dim-1 neighbor slabs in HBM every
+    sub-step (`cells.flat_neighbor_stack`) and streams them through the
+    pipeline — at 1M 3D atoms that is ~69 MB written + ~69 MB re-read per
+    sub-step, the dominant fixed cost (docs/PERF.md round 3).  Here the
+    state is passed whole (ANY/HBM memory space) with a ring apron, and
+    each grid tile DMAs ONE contiguous super-range per source color
+    covering every neighbor offset *and* every interior edge-correction
+    offset; neighbor planes are then composed in VMEM as lane-rotated
+    windows + edge-mask selects — the closed form of
+    `flat_neighbor_stack`'s sequential roll/select chain (bitwise equal;
+    see tests/test_pallas_fused.py).  Bytes touched per tile drop from
+    K*T to T + 2*M2 per source color (3D: ~13x less HBM traffic).
+
+    Flat single-chip path only (the sharded halo path keeps the packed
+    builder).  Reference analogue: the per-block shared-memory 27-cell
+    gather this replaces twice over, kernel.cu:270-279.
+    """
+    dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    n_k = cfg.n_neighbors - 1
+    assert tile_cols == 128, "fused path requires 128-lane tiles"
+    n_planes = pos.shape[1]
+    n_cells = cfg.cells_per_color
+    P = n_cells
+
+    fpos = pos.reshape(cfg.n_colors, n_planes * nmax, P)
+    focc = occ.reshape(cfg.n_colors, P)
+    own = fpos[color]
+    own_occ = focc[color]
+    lb = jnp.asarray(cells._flat_lower_bounds_np(cfg, color))
+
+    strides, maxoff, M2 = _fused_geometry(cfg)
+    bs = cfg.block_shape
+    box = cfg.box_length
+    plan = cells.neighbor_plan(dim, color, include_center=False)
+    used = sorted({src for src, _ in plan})
+    U = len(used)
+
+    T = tile_rows * tile_cols
+    padded = _round_up(max(P, T), T)
+    rp, cp = padded // tile_cols, tile_cols
+    L = T + 2 * M2 + 128
+    LR = L // 128
+    W = padded + 2 * M2 + 128
+
+    # ring-extended state: ext[..., x] = fpos[..., (x - M2) mod P]
+    s0 = (P - (M2 % P)) % P
+    reps = (s0 + W + P - 1) // P
+    ext = jnp.concatenate([fpos] * reps, axis=-1)[..., s0:s0 + W]
+    ext3 = ext.reshape(cfg.n_colors, n_planes * nmax, W // 128, 128)
+    exto = jnp.concatenate([focc] * reps, axis=-1)[..., s0:s0 + W]
+    exto3 = exto.reshape(cfg.n_colors, W // 128, 128)
+
+    if in_kernel_rng:
+        pick_u = disp = acc_u = None
+        seed_arr = jax.lax.bitcast_convert_type(
+            jax.random.key_data(key), jnp.int32).reshape(1, 2)
+    else:
+        pick_u, disp, acc_u = xla_sweep.substep_randoms(
+            cfg, key, (n_cells,), need_acc=pot.has_energy)
+
+    def to_tiles(x, lead):
+        x = x.reshape(lead, n_cells)
+        x = jnp.pad(x, ((0, 0), (0, padded - n_cells)))
+        return x.reshape(lead, rp, cp)
+
+    own_p = to_tiles(own, n_planes * nmax)
+    occ_p = to_tiles(own_occ, 1)
+    lb_p = to_tiles(lb, dim)
+    masks_p = jnp.asarray(_fused_masks_np(bs, padded)).reshape(
+        2 * dim, rp, cp)
+    if not in_kernel_rng:
+        pick_p = to_tiles(pick_u, n_m)
+        disp_p = to_tiles(disp, n_m * dim)
+        if pot.has_energy:
+            accu_p = to_tiles(acc_u, n_m)
+
+    beta_static = None
+    if beta is None:
+        beta_static = cfg.beta
+        beta_arr = jnp.zeros((1, 1), jnp.float32)
+    elif isinstance(beta, (int, float)):
+        beta_static = float(beta)
+        beta_arr = jnp.zeros((1, 1), jnp.float32)
+    else:
+        beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+    use_scale = scale is not None
+    scale2_arr = (jnp.asarray(scale, jnp.float32).reshape(1, 1) ** 2
+                  if use_scale else jnp.zeros((1, 1), jnp.float32))
+
+    base_kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
+                               slot_group, use_scale, in_kernel_rng)
+    body = base_kernel.body
+    TR, TC = tile_rows, tile_cols
+    PN = n_planes * nmax
+
+    def fused_kernel(*refs):
+        n_rng = 0 if in_kernel_rng else (3 if pot.has_energy else 2)
+        (own_ref, occ_ref, lb_ref, mask_ref), rest = refs[:4], refs[4:]
+        rng_refs, rest = rest[:n_rng or 1], rest[n_rng or 1:]
+        (beta_ref, scale2_ref, extp_ref, exto_ref,
+         out_ref, de_ref, acc_ref,
+         sup_pos, sup_occ, nbrs, nbro, sems) = rest
+        if in_kernel_rng:
+            seed_ref = rng_refs[0]
+            pick_ref = disp_ref = accu_ref = None
+        else:
+            pick_ref, disp_ref = rng_refs[0], rng_refs[1]
+            accu_ref = rng_refs[2] if pot.has_energy else None
+            seed_ref = None
+
+        i0r = pl.program_id(0) * TR
+        for u in range(U):
+            c = used[u]
+            pltpu.make_async_copy(
+                extp_ref.at[c, :, pl.ds(i0r, LR), :], sup_pos.at[u],
+                sems.at[2 * u]).start()
+            pltpu.make_async_copy(
+                exto_ref.at[c, pl.ds(i0r, LR), :], sup_occ.at[u],
+                sems.at[2 * u + 1]).start()
+        for u in range(U):
+            c = used[u]
+            pltpu.make_async_copy(
+                extp_ref.at[c, :, pl.ds(i0r, LR), :], sup_pos.at[u],
+                sems.at[2 * u]).wait()
+            pltpu.make_async_copy(
+                exto_ref.at[c, pl.ds(i0r, LR), :], sup_occ.at[u],
+                sems.at[2 * u + 1]).wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1)
+
+        def window_pos(u, a):
+            r0, sh = divmod(a, 128)
+            if sh == 0:
+                return sup_pos[u, :, r0:r0 + TR, :]
+            w = sup_pos[u, :, r0:r0 + TR + 1, :]
+            ua = jnp.roll(w[:, :TR], -sh, axis=2)
+            ub = jnp.roll(w[:, 1:TR + 1], -sh, axis=2)
+            return jnp.where((lane < 128 - sh)[None], ua, ub)
+
+        def window_occ(u, a):
+            r0, sh = divmod(a, 128)
+            if sh == 0:
+                return sup_occ[u, r0:r0 + TR, :]
+            w = sup_occ[u, r0:r0 + TR + 1, :]
+            ua = jnp.roll(w[:TR], -sh, axis=1)
+            ub = jnp.roll(w[1:TR + 1], -sh, axis=1)
+            return jnp.where(lane < 128 - sh, ua, ub)
+
+        def dmask(k, s):
+            return mask_ref[2 * k + (0 if s > 0 else 1)]
+
+        for j, (src, shifts) in enumerate(plan):
+            u = used.index(src)
+            a0 = M2 + sum(s * strides[k] for k, s in enumerate(shifts))
+            v = window_pos(u, a0)
+            o = window_occ(u, a0)
+            corr = [(k, shifts[k]) for k in range(1, dim) if shifts[k]]
+            for k, s in corr:
+                m = dmask(k, s) > 0.0
+                a = a0 - s * bs[k] * strides[k]
+                v = jnp.where(m[None], window_pos(u, a), v)
+                o = jnp.where(m, window_occ(u, a), o)
+            if len(corr) == 2:
+                (k1, s1), (k2, s2) = corr
+                m12 = (dmask(k1, s1) > 0.0) & (dmask(k2, s2) > 0.0)
+                a = (a0 - s1 * bs[k1] * strides[k1]
+                     - s2 * bs[k2] * strides[k2])
+                v = jnp.where(m12[None], window_pos(u, a), v)
+                o = jnp.where(m12, window_occ(u, a), o)
+            # periodic coordinate unwrap: +-L on coordinate plane k where
+            # the read crossed the box edge along k (destination mask)
+            for k in range(dim):
+                s = shifts[k]
+                if s:
+                    adj = jnp.float32(s * box) * dmask(k, s)
+                    v = v.at[k * nmax:(k + 1) * nmax].add(adj[None])
+            nbrs[j * PN:(j + 1) * PN] = v
+            nbro[j] = o
+
+        body(own_ref, occ_ref, nbrs, nbro, lb_ref, pick_ref, disp_ref,
+             accu_ref, seed_ref, beta_ref, scale2_ref,
+             out_ref, de_ref, acc_ref)
+
+    grid = (rp // tile_rows, cp // tile_cols)
+
+    def bspec(lead):
+        return pl.BlockSpec((lead, tile_rows, tile_cols),
+                            lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
+    def sspec(cols=1):
+        return pl.BlockSpec((1, cols), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_planes * nmax, rp, cp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32),
+    )
+    common = [bspec(n_planes * nmax), bspec(1), bspec(dim), bspec(2 * dim)]
+    if in_kernel_rng:
+        in_specs = common + [sspec(2), sspec(), sspec(), any_spec, any_spec]
+        args = (own_p, occ_p, lb_p, masks_p, seed_arr, beta_arr, scale2_arr,
+                ext3, exto3)
+    elif pot.has_energy:
+        in_specs = common + [bspec(n_m), bspec(n_m * dim), bspec(n_m),
+                             sspec(), sspec(), any_spec, any_spec]
+        args = (own_p, occ_p, lb_p, masks_p, pick_p, disp_p, accu_p,
+                beta_arr, scale2_arr, ext3, exto3)
+    else:
+        in_specs = common + [bspec(n_m), bspec(n_m * dim),
+                             sspec(), sspec(), any_spec, any_spec]
+        args = (own_p, occ_p, lb_p, masks_p, pick_p, disp_p,
+                beta_arr, scale2_arr, ext3, exto3)
+
+    scratch = [
+        pltpu.VMEM((U, n_planes * nmax, LR, 128), jnp.float32),
+        pltpu.VMEM((U, LR, 128), jnp.int32),
+        pltpu.VMEM((n_k * n_planes * nmax, TR, TC), jnp.float32),
+        pltpu.VMEM((n_k, TR, TC), jnp.int32),
+        pltpu.SemaphoreType.DMA((2 * U,)),
+    ]
+    vmem_bytes = (
+        4 * U * (n_planes * nmax + 1) * L
+        + 4 * n_k * (n_planes * nmax + 1) * T
+        + 2 * 4 * T * (2 * n_planes * nmax + 1 + dim + 2 * dim
+                       + n_m * (2 + dim) + 4)
+        + 8 * 1024 * 1024)
+
+    own_new_p, de_map, acc_map = pl.pallas_call(
+        fused_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(bspec(n_planes * nmax), bspec(1), bspec(1)),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)),
+        interpret=interpret,
+    )(*args)
+
+    own_new = own_new_p.reshape(n_planes * nmax, padded)[:, :n_cells]
+    own_new = own_new.reshape((n_planes, nmax) + pos.shape[3:])
+    de = jnp.sum(de_map)
+    n_acc = jnp.sum(acc_map)
+    n_prop = n_m * jnp.sum((own_occ > 0).astype(jnp.int32))
+    return own_new, de, n_acc, n_prop
+
+
+def make_fused_substep(tile_rows: int = 8, tile_cols: int = 128,
+                       interpret: bool = False,
+                       neighbor_unroll: int = 1, slot_group: int = 8,
+                       in_kernel_rng: bool = False):
+    """A color_substep-compatible wrapper around the fused (in-kernel DMA)
+    sub-sweep.  Single-chip flat path only; signature-compatible with
+    sweep.mc_sweep's substep_fn (shift_fn/block_offset must stay default)."""
+    def substep(cfg, pot, color, pos, occ, key,
+                shift_fn=roll_shift_fn, beta=None, block_offset=None,
+                scale=None):
+        if block_offset is not None or shift_fn is not roll_shift_fn:
+            raise ValueError("fused substep is single-chip only")
+        return pallas_color_substep_fused(
+            cfg, pot, color, pos, occ, key, beta=beta, scale=scale,
+            tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+            neighbor_unroll=neighbor_unroll, slot_group=slot_group,
+            in_kernel_rng=in_kernel_rng)
+    return substep
+
+
 def estimate_tile_vmem_bytes(cfg: SimConfig, tile_rows: int = 8,
                              tile_cols: int = 128) -> int:
     """Rough per-tile VMEM footprint of the sub-sweep kernel (x2 for the
@@ -621,12 +954,12 @@ def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
     return 8
 
 
-@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
                       n_sweeps: int, tile_rows: int = 0, tile_cols: int = 128,
                       interpret: bool = False, pallas_shift: bool = False,
                       neighbor_unroll: int = 1, slot_group: int = 8,
-                      in_kernel_rng: bool = False
+                      in_kernel_rng: bool = False, fused: bool = False
                       ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """run_sweeps with the Pallas sub-sweep kernel (single chip).
 
@@ -639,10 +972,16 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
     """
     if tile_rows == 0:
         tile_rows = auto_tile_rows(cfg, tile_cols)
-    substep = make_pallas_substep(tile_rows, tile_cols, interpret,
-                                  neighbor_unroll=neighbor_unroll,
-                                  slot_group=slot_group,
-                                  in_kernel_rng=in_kernel_rng)
+    if fused:
+        substep = make_fused_substep(tile_rows, tile_cols, interpret,
+                                     neighbor_unroll=neighbor_unroll,
+                                     slot_group=slot_group,
+                                     in_kernel_rng=in_kernel_rng)
+    else:
+        substep = make_pallas_substep(tile_rows, tile_cols, interpret,
+                                      neighbor_unroll=neighbor_unroll,
+                                      slot_group=slot_group,
+                                      in_kernel_rng=in_kernel_rng)
     shift_rebin_fn = None
     if pallas_shift:
         from mcjax.ops.pallas_shift import pallas_shift_rebin
