@@ -132,15 +132,40 @@ class LJMixture:
                 _poly3(*(c * c for c in rc)),
                 _poly3(*(sh(e, s, c) for e, s, c in zip(eps, sig, rc))))
 
+    def _uniform_cutoff_ratio2(self):
+        """(r_cut/sigma)^2 if that ratio is the same for EVERY species pair
+        (Kob-Andersen: 2.5^2), else None.  Static Python, folded at trace."""
+        s = self.n_species
+        ratios = [self.r_cut_table[a][b] / self.sigma[a][b]
+                  for a in range(s) for b in range(s)]
+        if max(ratios) - min(ratios) <= 1e-12 * max(ratios):
+            return ratios[0] * ratios[0]
+        return None
+
     def _energy_binary(self, r2, si, sj, inv_fn=None):
-        """One LJ evaluation on u-blended per-pair coefficients (S == 2)."""
+        """One LJ evaluation on u-blended per-pair coefficients (S == 2).
+
+        With a species-independent cutoff ratio c = r_cut/sigma (the
+        Kob-Andersen convention) the cutoff test collapses to a compare on
+        the already-computed inv2 (r2 <= rc^2  <=>  inv2*c^2 >= 1) and the
+        shift constant becomes a fixed multiple of the 4*eps blend — the
+        crc2 and csh blends drop entirely (2 of 4; ROADMAP r3 perf item 3).
+        """
         ce4, cs2, crc2, csh = self._binary_coeffs()
+        c2 = self._uniform_cutoff_ratio2()
         u = si + sj
         u2 = u * u
         inv = inv_fn(r2) if inv_fn is not None else 1.0 / jnp.maximum(r2, 1e-12)
         inv2 = _blend(cs2, u, u2) * inv
         inv6 = inv2 * inv2 * inv2
-        e = _blend(ce4, u, u2) * (inv6 * inv6 - inv6)
+        poly = inv6 * inv6 - inv6
+        if c2 is not None:
+            if self.shift:
+                ic6 = 1.0 / (c2 * c2 * c2)
+                poly = poly - (ic6 * ic6 - ic6)
+            e = _blend(ce4, u, u2) * poly
+            return jnp.where(inv2 * c2 >= 1.0, e, 0.0)
+        e = _blend(ce4, u, u2) * poly
         if self.shift:
             e = e - _blend(csh, u, u2)
         return jnp.where(r2 <= _blend(crc2, u, u2), e, 0.0)

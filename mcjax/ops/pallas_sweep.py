@@ -807,12 +807,21 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
                 v = jnp.where(m12[None], window_pos(u, a), v)
                 o = jnp.where(m12, window_occ(u, a), o)
             # periodic coordinate unwrap: +-L on coordinate plane k where
-            # the read crossed the box edge along k (destination mask)
+            # the read crossed the box edge along k (destination mask).
+            # Rows outside plane k keep their ORIGINAL value via the select
+            # (no +0.0, which would flip -0.0 — bitwise contract); rows of
+            # plane k add adj everywhere, zeros included, exactly like the
+            # flat builder's masked add.  (.at[].add lowers to scatter-add,
+            # which Mosaic has no TPU lowering for; a numpy mask would be a
+            # captured constant, which pallas_call rejects — so the plane
+            # mask is an in-kernel iota compare.)
             for k in range(dim):
                 s = shifts[k]
                 if s:
                     adj = jnp.float32(s * box) * dmask(k, s)
-                    v = v.at[k * nmax:(k + 1) * nmax].add(adj[None])
+                    row = jax.lax.broadcasted_iota(jnp.int32, (PN, 1, 1), 0)
+                    psel = (row >= k * nmax) & (row < (k + 1) * nmax)
+                    v = jnp.where(psel, v + adj[None], v)
             nbrs[j * PN:(j + 1) * PN] = v
             nbro[j] = o
 
