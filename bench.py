@@ -201,7 +201,7 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
 def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, slot_group: int = 8,
-               fused: bool = False) -> None:
+               fused: bool = False, in_kernel_rng: bool = False) -> None:
     """Kob-Andersen 80:20 binary LJ mixture at rho=1.2, T=0.8 (the canonical
     glass former) at production N on the Pallas mixture kernel — per-pair
     (eps, sigma, r_cut) resolved in-kernel from the species plane. The
@@ -226,11 +226,13 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     state = init_mixture_state(cfg, stratified_positions(cfg), spec)
 
     st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
-                              False, False, 2, slot_group, False, fused)
+                              False, False, 2, slot_group, in_kernel_rng,
+                              fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
-                               False, False, 2, slot_group, False, fused)
+                               False, False, 2, slot_group, in_kernel_rng,
+                               fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -280,19 +282,34 @@ def main() -> None:
                     help="pair slots per grouped [G, TR, TC] kernel op "
                          "(default: measured winners — 1 for 2D hard-disk, "
                          "2 for lj3d, 8 for ka3d; r3 tuning log)")
-    ap.add_argument("--fused", action="store_true",
+    ap.add_argument("--fused", action="store_true", default=None,
                     help="in-kernel halo DMA sub-sweep (no materialized "
-                         "neighbor stack; single-chip flat path)")
-    ap.add_argument("--in-kernel-rng", action="store_true",
+                         "neighbor stack; single-chip flat path). Default: "
+                         "on for the 2D hard-disk headline (measured +64%% "
+                         "with --in-kernel-rng), off in 3D where the "
+                         "classic flat-stack path measures faster")
+    ap.add_argument("--no-fused", dest="fused", action="store_false")
+    ap.add_argument("--in-kernel-rng", action="store_true", default=None,
                     help="draw randoms from the TPU hardware PRNG inside "
                          "the kernel (drops the 4 Threefry tensor inputs; "
-                         "not bitwise vs the XLA engine)")
+                         "not bitwise vs the XLA engine; gated by "
+                         "scripts/validate_in_kernel_rng.py). Default: on "
+                         "for the 2D hard-disk headline")
+    ap.add_argument("--host-rng", dest="in_kernel_rng", action="store_false")
     ap.add_argument("--pallas-shift", action="store_true",
                     help="use the Pallas grid-shift kernel (wins for 3D "
                          "where the XLA merge runs on lane-hostile tiles)")
     ap.add_argument("--no-sharded-check", action="store_true",
                     help="skip the compiled sharded-Pallas parity check")
     args = ap.parse_args()
+
+    # Measured-winner defaults (docs/PERF.md round 3): the fused in-kernel
+    # halo DMA + hardware PRNG combination wins the 2D headline (5.2e9 vs
+    # 2.7e9 classic); in 3D the classic flat-stack path stays ahead.
+    if args.in_kernel_rng is None:
+        args.in_kernel_rng = args.workload == "hard-disk"
+    if args.fused is None:
+        args.fused = args.workload == "hard-disk"
 
     if args.workload == "lj3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
@@ -306,7 +323,7 @@ def main() -> None:
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_ka3d(n, min(args.sweeps, 30), args.moves or 60,
                    args.nmax or 38, args.tile_rows, args.slot_group or 8,
-                   args.fused)
+                   args.fused, args.in_kernel_rng)
         return
     if args.slot_group is None:
         args.slot_group = 1   # 2D hard-disk: grouping hurts (r3 tuning)

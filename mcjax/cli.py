@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", choices=["auto", "xla", "pallas"],
                    default="auto")
+    p.add_argument("--fused", action="store_true",
+                   help="Pallas engine: in-kernel halo DMA sub-sweep (no "
+                        "materialized neighbor stack; 2D headline winner)")
+    p.add_argument("--in-kernel-rng", action="store_true",
+                   help="Pallas engine: draw move randomness from the TPU "
+                        "hardware PRNG inside the kernel (fastest; not "
+                        "bitwise vs the XLA engine — gated statistically "
+                        "by scripts/validate_in_kernel_rng.py)")
     p.add_argument("--chunk", type=int, default=50,
                    help="sweeps per device dispatch / print interval")
     p.add_argument("--reanchor-every", type=int, default=0,
@@ -271,7 +279,11 @@ def main(argv=None) -> int:
         engine = recommended_engine(cfg)
         print(f"# engine: {engine}", file=sys.stderr)
     if engine == "pallas":
-        from mcjax.ops.pallas_sweep import run_sweeps_pallas as runner
+        from functools import partial
+
+        from mcjax.ops.pallas_sweep import run_sweeps_pallas
+        runner = partial(run_sweeps_pallas,
+                         in_kernel_rng=args.in_kernel_rng, fused=args.fused)
     elif mixture:
         from mcjax.ops.mixture import run_sweeps_mixture as runner
     else:

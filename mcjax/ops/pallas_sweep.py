@@ -125,6 +125,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
 
     gaussian = cfg.proposal == "gaussian"
     step = cfg.step_size
+    IH_K = 12  # uniforms per Irwin-Hall gaussian component (in-kernel RNG)
 
     def body(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref, pick_ref,
              disp_ref, accu_ref, seed_ref, beta_ref, scale2_ref,
@@ -168,27 +169,40 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
         def move_body(m, carry):
             de_acc, acc_acc = carry
             if in_kernel_rng:
-                # draws per move: pick, accept, then displacement uniforms
-                # (Box-Muller pairs for gaussian proposals)
-                n_draw = 2 + (2 * ((dim + 1) // 2) if gaussian else dim)
-                bits = pltpu.prng_random_bits((n_draw,) + occ.shape)
-                pick = _uniform_01(bits[0])
-                accu_m = _uniform_01(bits[1])
+                # Draws per move: pick, accept, then displacement randoms,
+                # ONE [TR, TC] plane per prng_random_bits call.  A single
+                # multi-plane draw is NOT safe: with a (6, TR, TC) request
+                # (3D gaussian) the generated planes were measured
+                # inconsistent between their consumers — the dE-anchor
+                # identity (trace == exact energy delta) drifted rel ~1e-1,
+                # bit-identical under full unroll / exact divide / scratch
+                # round-trips, while the (4,...) 2D-gaussian and (5,...)
+                # 3D-uniform draws stayed clean at ~1e-5.  Per-plane draws
+                # restore the anchor (scripts/validate_in_kernel_rng.py).
+                def draw():
+                    return _uniform_01(pltpu.prng_random_bits(occ.shape))
+
+                pick = draw()
+                accu_m = draw()
                 disp_m = []
                 if gaussian:
-                    for pair in range((dim + 1) // 2):
-                        u1 = jnp.maximum(_uniform_01(bits[2 + 2 * pair]),
-                                         jnp.float32(1e-12))
-                        u2 = _uniform_01(bits[3 + 2 * pair])
-                        r = jnp.sqrt(-2.0 * jnp.log(u1))
-                        ang = jnp.float32(2.0 * math.pi) * u2
-                        disp_m.append(step * r * jnp.cos(ang))
-                        if len(disp_m) < dim:
-                            disp_m.append(step * r * jnp.sin(ang))
+                    # Irwin-Hall sum of IH_K uniforms per component
+                    # (variance IH_K/12) instead of Box-Muller: Metropolis
+                    # only requires a SYMMETRIC proposal, and adds beat 4
+                    # transcendentals; bounded tails (+-sqrt(3 IH_K) sigma).
+                    scale_ih = jnp.float32(step * math.sqrt(12.0 / IH_K))
+                    for d in range(dim):
+                        parts = [draw() for _ in range(IH_K)]
+                        while len(parts) > 1:  # pairwise tree sum
+                            parts = [parts[i] + parts[i + 1]
+                                     for i in range(0, len(parts) - 1, 2)
+                                     ] + (parts[-1:] if len(parts) % 2
+                                          else [])
+                        disp_m.append(scale_ih
+                                      * (parts[0] - jnp.float32(IH_K / 2)))
                 else:
                     for d in range(dim):
-                        disp_m.append(step * (2.0 * _uniform_01(bits[2 + d])
-                                              - 1.0))
+                        disp_m.append(step * (2.0 * draw() - 1.0))
             else:
                 pick = pick_ref[m]
                 accu_m = None
