@@ -668,17 +668,88 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
     builder).  Reference analogue: the per-block shared-memory 27-cell
     gather this replaces twice over, kernel.cu:270-279.
     """
+    n_planes = pos.shape[1]
+    ext3, exto3 = _ring_state(cfg, pos, occ, tile_rows, tile_cols)
+    own_new, de, n_acc, n_prop = _fused_core(
+        cfg, pot, color, ext3, exto3, key, beta, scale,
+        tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+        neighbor_unroll=neighbor_unroll, slot_group=slot_group,
+        in_kernel_rng=in_kernel_rng)
+    own_new = own_new.reshape((n_planes, cfg.nmax) + pos.shape[3:])
+    return own_new, de, n_acc, n_prop
+
+
+def _ring_geometry(cfg: SimConfig, tile_rows: int, tile_cols: int):
+    """(P, padded, M2, W): flat cells per color, tile-padded width, apron
+    row offset, and ring-extended width."""
+    P = cfg.cells_per_color
+    _, _, M2 = _fused_geometry(cfg)
+    T = tile_rows * tile_cols
+    padded = _round_up(max(P, T), T)
+    W = padded + 2 * M2 + 128
+    return P, padded, M2, W
+
+
+def _ring_one(x: jax.Array, P: int, M2: int, W: int) -> jax.Array:
+    """[..., P] -> [..., W] ring extension: out[..., x] = in[..., (x-M2)%P]."""
+    s0 = (P - (M2 % P)) % P
+    reps = (s0 + W + P - 1) // P
+    return jnp.concatenate([x] * reps, axis=-1)[..., s0:s0 + W]
+
+
+def _ring_state(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
+                tile_rows: int, tile_cols: int
+                ) -> tuple[jax.Array, jax.Array]:
+    """Packed state -> ring-extended fused-kernel state (ext3, exto3)."""
+    n_planes = pos.shape[1]
+    nmax = cfg.nmax
+    P, _, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
+    fpos = pos.reshape(cfg.n_colors, n_planes * nmax, P)
+    focc = occ.reshape(cfg.n_colors, P)
+    ext3 = _ring_one(fpos, P, M2, W).reshape(
+        cfg.n_colors, n_planes * nmax, W // 128, 128)
+    exto3 = _ring_one(focc, P, M2, W).reshape(cfg.n_colors, W // 128, 128)
+    return ext3, exto3
+
+
+def _unring_state(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
+                  tile_rows: int, tile_cols: int
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Inverse of _ring_state back to the packed grid layout."""
+    P, _, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
+    nmax = cfg.nmax
+    n_planes = ext3.shape[1] // nmax
+    r0 = M2 // 128
+    fpos = ext3.reshape(cfg.n_colors, n_planes * nmax, W)[..., M2:M2 + P]
+    focc = exto3.reshape(cfg.n_colors, W)[..., M2:M2 + P]
+    pos = fpos.reshape((cfg.n_colors, n_planes, nmax) + cfg.block_shape)
+    occ = focc.reshape((cfg.n_colors,) + cfg.block_shape)
+    del r0
+    return pos, occ
+
+
+def _fused_core(cfg: SimConfig, pot: Potential, color: int,
+                ext3: jax.Array, exto3: jax.Array, key: jax.Array,
+                beta: jax.Array | float | None = None,
+                scale: jax.Array | None = None,
+                *, tile_rows: int = 8, tile_cols: int = 128,
+                interpret: bool = False, neighbor_unroll: int = 1,
+                slot_group: int = 8, in_kernel_rng: bool = False
+                ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused sub-sweep on the ring-extended state; returns the updated own
+    planes FLAT ([n_planes*nmax, P]) plus (de, n_acc, n_prop).
+
+    The own/occupancy tiles are zero-cost SLICES of the ring state (the
+    ring's [M2, M2+padded) rows are exactly the flat cell range, wrapped
+    beyond P); occupancy is re-zeroed on the wrapped tail so padding cells
+    are inert (no accepts, no dE, no proposals)."""
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     n_k = cfg.n_neighbors - 1
     assert tile_cols == 128, "fused path requires 128-lane tiles"
-    n_planes = pos.shape[1]
+    n_planes = ext3.shape[1] // nmax
     n_cells = cfg.cells_per_color
     P = n_cells
 
-    fpos = pos.reshape(cfg.n_colors, n_planes * nmax, P)
-    focc = occ.reshape(cfg.n_colors, P)
-    own = fpos[color]
-    own_occ = focc[color]
     lb = jnp.asarray(cells._flat_lower_bounds_np(cfg, color))
 
     strides, maxoff, M2 = _fused_geometry(cfg)
@@ -695,14 +766,6 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
     LR = L // 128
     W = padded + 2 * M2 + 128
 
-    # ring-extended state: ext[..., x] = fpos[..., (x - M2) mod P]
-    s0 = (P - (M2 % P)) % P
-    reps = (s0 + W + P - 1) // P
-    ext = jnp.concatenate([fpos] * reps, axis=-1)[..., s0:s0 + W]
-    ext3 = ext.reshape(cfg.n_colors, n_planes * nmax, W // 128, 128)
-    exto = jnp.concatenate([focc] * reps, axis=-1)[..., s0:s0 + W]
-    exto3 = exto.reshape(cfg.n_colors, W // 128, 128)
-
     if in_kernel_rng:
         pick_u = disp = acc_u = None
         seed_arr = jax.lax.bitcast_convert_type(
@@ -716,8 +779,15 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
         x = jnp.pad(x, ((0, 0), (0, padded - n_cells)))
         return x.reshape(lead, rp, cp)
 
-    own_p = to_tiles(own, n_planes * nmax)
-    occ_p = to_tiles(own_occ, 1)
+    # own planes: zero-cost slice of the ring (ring row M2//128 + r is flat
+    # cell row r; the wrapped tail past P carries live copies of cells
+    # 0..padded-P-1, which the zeroed occupancy below makes inert)
+    r0 = M2 // 128
+    own_p = ext3[color, :, r0:r0 + rp, :]
+    occ_rows = exto3[color, r0:r0 + rp, :]
+    cell_idx = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 0) * cp \
+        + jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 1)
+    occ_p = jnp.where(cell_idx < P, occ_rows, 0)[None]
     lb_p = to_tiles(lb, dim)
     masks_p = jnp.asarray(_fused_masks_np(bs, padded)).reshape(
         2 * dim, rp, cp)
@@ -904,10 +974,9 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
     )(*args)
 
     own_new = own_new_p.reshape(n_planes * nmax, padded)[:, :n_cells]
-    own_new = own_new.reshape((n_planes, nmax) + pos.shape[3:])
     de = jnp.sum(de_map)
     n_acc = jnp.sum(acc_map)
-    n_prop = n_m * jnp.sum((own_occ > 0).astype(jnp.int32))
+    n_prop = n_m * jnp.sum((occ_p > 0).astype(jnp.int32))
     return own_new, de, n_acc, n_prop
 
 
@@ -929,6 +998,92 @@ def make_fused_substep(tile_rows: int = 8, tile_cols: int = 128,
             neighbor_unroll=neighbor_unroll, slot_group=slot_group,
             in_kernel_rng=in_kernel_rng)
     return substep
+
+
+def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
+                     n_sweeps: int, tile_rows: int = 16,
+                     tile_cols: int = 128, interpret: bool = False,
+                     neighbor_unroll: int = 1, slot_group: int = 8,
+                     in_kernel_rng: bool = False
+                     ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
+    """Fused-engine run loop carrying the RING-EXTENDED state across the
+    whole scan.
+
+    The per-substep fixed cost of the fused path was rebuilding the full
+    4-color ring apron (`_ring_state`: a whole-state concatenate+slice)
+    every sub-step even though a sub-step changes only ONE color's planes.
+    Here the ring is the carried representation: each sub-step slices its
+    own tiles straight out of the ring (zero-cost: ring rows [M2/128,
+    (M2+padded)/128) ARE the flat cell range) and writes back a one-color
+    ring extension — 1/n_colors of the rebuild traffic — while the
+    pack<->ring conversions happen once per run plus once per grid shift.
+    Schedule randomness (color permutation, shift axis/distance) replays
+    sweep.mc_sweep's tree exactly, so trajectories are BITWISE equal to
+    run_sweeps_pallas(fused=True) via the per-substep path
+    (tests/test_pallas_fused.py)."""
+    n_colors = cfg.n_colors
+    P, padded, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
+    ext3, exto3 = _ring_state(cfg, state.pos, state.occ, tile_rows,
+                              tile_cols)
+    pos_shape = state.pos.shape
+
+    def substep_branch(c, ext3, exto3, k):
+        own_new, de, na, np_ = _fused_core(
+            cfg, pot, c, ext3, exto3, k, tile_rows=tile_rows,
+            tile_cols=tile_cols, interpret=interpret,
+            neighbor_unroll=neighbor_unroll, slot_group=slot_group,
+            in_kernel_rng=in_kernel_rng)
+        ring_c = _ring_one(own_new, P, M2, W).reshape(
+            own_new.shape[0], W // 128, 128)
+        return ext3.at[c].set(ring_c), de, na, np_
+
+    branches = [partial(substep_branch, c) for c in range(n_colors)]
+
+    def sweep_body(carry, _):
+        ext3, exto3, key, sweep, ovf_acc = carry
+        key_sweep = jax.random.fold_in(key, sweep)
+        k_perm, k_axis, k_dist, k_sub = jax.random.split(key_sweep, 4)
+        perm = jax.random.permutation(k_perm, n_colors)
+
+        def color_body(i, carry2):
+            e3, de, na, np_ = carry2
+            k = jax.random.fold_in(k_sub, i)
+            e3, de_i, na_i, np_i = jax.lax.switch(perm[i], branches,
+                                                  e3, exto3, k)
+            return e3, de + de_i, na + na_i, np_ + np_i
+
+        zf = jnp.zeros((), jnp.float32)
+        zi = jnp.zeros((), jnp.int32)
+        ext3, de, n_acc, n_prop = jax.lax.fori_loop(
+            0, n_colors, color_body, (ext3, zf, zi, zi))
+
+        axis = jax.random.randint(k_axis, (), 0, cfg.dim)
+        d = jax.random.uniform(k_dist, (),
+                               minval=-cfg.cell_width / 2.0,
+                               maxval=cfg.cell_width / 2.0)
+        do_shift = (sweep + 1) % cfg.shift_every == 0
+
+        def with_shift():
+            pos, occ = _unring_state(cfg, ext3, exto3, tile_rows, tile_cols)
+            pos2, occ2, ovf2 = cells.shift_rebin(
+                cfg, pos, occ, axis, d, xla_sweep.roll_shift_fn, None)
+            e3, eo3 = _ring_state(cfg, pos2, occ2, tile_rows, tile_cols)
+            return e3, eo3, ovf2
+
+        def no_shift():
+            return ext3, exto3, jnp.any(exto3 < 0)
+
+        ext3_n, exto3_n, ovf = jax.lax.cond(do_shift, with_shift, no_shift)
+        m = xla_sweep.SweepMetrics(de, n_acc, n_prop, ovf)
+        return (ext3_n, exto3_n, key, sweep + 1, ovf_acc | ovf), m
+
+    carry = (ext3, exto3, state.key, state.sweep, state.overflow)
+    carry, metrics = jax.lax.scan(sweep_body, carry, length=n_sweeps)
+    ext3, exto3, _, sweep, ovf = carry
+    pos, occ = _unring_state(cfg, ext3, exto3, tile_rows, tile_cols)
+    state = dataclasses.replace(state, pos=pos.reshape(pos_shape), occ=occ,
+                                sweep=sweep, overflow=ovf)
+    return state, metrics
 
 
 def estimate_tile_vmem_bytes(cfg: SimConfig, tile_rows: int = 8,
@@ -995,6 +1150,12 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
     """
     if tile_rows == 0:
         tile_rows = auto_tile_rows(cfg, tile_cols)
+    if fused and not pallas_shift:
+        # ring-carry loop: one pack<->ring per run + per shift instead of a
+        # full-state ring rebuild per sub-step (bitwise equal; docstring)
+        return run_sweeps_fused(cfg, pot, state, n_sweeps, tile_rows,
+                                tile_cols, interpret, neighbor_unroll,
+                                slot_group, in_kernel_rng)
     if fused:
         substep = make_fused_substep(tile_rows, tile_cols, interpret,
                                      neighbor_unroll=neighbor_unroll,
