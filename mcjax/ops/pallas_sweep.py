@@ -1028,14 +1028,11 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
     pos_shape = state.pos.shape
 
     def substep_branch(c, ext3, exto3, k):
-        own_new, de, na, np_ = _fused_core(
+        return _fused_core(
             cfg, pot, c, ext3, exto3, k, tile_rows=tile_rows,
             tile_cols=tile_cols, interpret=interpret,
             neighbor_unroll=neighbor_unroll, slot_group=slot_group,
             in_kernel_rng=in_kernel_rng)
-        ring_c = _ring_one(own_new, P, M2, W).reshape(
-            own_new.shape[0], W // 128, 128)
-        return ext3.at[c].set(ring_c), de, na, np_
 
     branches = [partial(substep_branch, c) for c in range(n_colors)]
 
@@ -1048,8 +1045,16 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
         def color_body(i, carry2):
             e3, de, na, np_ = carry2
             k = jax.random.fold_in(k_sub, i)
-            e3, de_i, na_i, np_i = jax.lax.switch(perm[i], branches,
-                                                  e3, exto3, k)
+            # branches return same-shaped flat planes, so the ring update
+            # hoists OUT of the switch as one dynamic-update-slice — XLA
+            # keeps it in-place inside the loop carry (an .at[c].set inside
+            # each branch forced a full ext copy per sub-step)
+            own_new, de_i, na_i, np_i = jax.lax.switch(perm[i], branches,
+                                                       e3, exto3, k)
+            ring_c = _ring_one(own_new, P, M2, W).reshape(
+                1, own_new.shape[0], W // 128, 128)
+            e3 = jax.lax.dynamic_update_slice(
+                e3, ring_c, (perm[i], 0, 0, 0))
             return e3, de + de_i, na + na_i, np_ + np_i
 
         zf = jnp.zeros((), jnp.float32)
