@@ -1069,9 +1069,16 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
         do_shift = (sweep + 1) % cfg.shift_every == 0
 
         def with_shift():
-            pos, occ = _unring_state(cfg, ext3, exto3, tile_rows, tile_cols)
+            # stay FLAT end-to-end: ring -> flat slices -> flat-space merge
+            # (shift_rebin auto-dispatches on flat input; bitwise-equal to
+            # the packed merge) -> re-ring, with zero packed relayouts
+            nmax = cfg.nmax
+            PN = ext3.shape[1]
+            fpos = ext3.reshape(n_colors, PN, W)[..., M2:M2 + P].reshape(
+                n_colors, PN // nmax, nmax, P)
+            focc = exto3.reshape(n_colors, W)[..., M2:M2 + P]
             pos2, occ2, ovf2 = cells.shift_rebin(
-                cfg, pos, occ, axis, d, xla_sweep.roll_shift_fn, None)
+                cfg, fpos, focc, axis, d, xla_sweep.roll_shift_fn, None)
             e3, eo3 = _ring_state(cfg, pos2, occ2, tile_rows, tile_cols)
             return e3, eo3, ovf2
 
