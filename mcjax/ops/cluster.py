@@ -92,47 +92,17 @@ def _pair_uniform(salt, ida, idb):
             ).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4))
-def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
-             img_capacity: int | None = None
-             ) -> tuple[SimState, jax.Array]:
-    """One geometric cluster move on a hard-core state.
+def _gca_prep(cfg: SimConfig, icfg: SimConfig, pot: Potential,
+              state: SimState, key: jax.Array):
+    """Move randomness + image/real slab binning (global-view ops).
 
-    Bond rule (Liu & Luijten, PRL 92, 035504 (2004), of which Dress-Krauth
-    is the hard-core limit): outsider j bonds to cluster member i with
-    probability ``p = 1 - exp(-beta * max(E(|T(r_i) - r_j|) -
-    E(|r_i - r_j|), 0))`` — certainly (p = 1) when the reflected member
-    overlaps j's hard core.  The move is rejection-free for ANY pair
-    potential; cfg.beta supplies the temperature for the energetic part.
-
-    Args:
-      cfg/pot: any potential with a hard core and/or a pair energy —
-        HardSphere and hard-sphere mixtures are the classic GCA; LJ,
-        square-well, Yukawa, and LJ mixtures get full Liu-Luijten bonds.
-      state: slab state; mixtures' species plane rides along untouched.
-      key: one-shot Threefry key (caller splits; ``state.key`` is not
-        consumed here so cluster moves compose with the sweep schedule's
-        key discipline).
-      img_capacity: slab capacity for binning the reflected images.  A
-        reflected cell straddles up to 2^dim grid cells, so transient
-        image-cell occupancy can exceed the equilibrium slab fill; default
-        2*nmax (overflow is detected and folded into ``state.overflow``).
-
-    Returns:
-      (new_state, cluster_size).  Rejection-free: the move always applies.
+    Shared by the single-chip `gca_move` and the mesh-sharded driver
+    (`mcjax.parallel.cluster`): binning is a global scatter, so under a
+    mesh it runs as ordinary GSPMD-sharded jit code while the growth
+    fixpoint below runs under shard_map.
     """
-    hard = pot.has_hard_core
     energetic = getattr(pot, "has_energy", False)
-    if not (hard or energetic):
-        raise ValueError("gca_move needs a potential with a hard core "
-                         "and/or a pair energy")
-    dim, nmax, L = cfg.dim, cfg.nmax, cfg.box_length
-    n = cfg.n_atoms
-    beta = cfg.beta
-    mixture = getattr(pot, "is_mixture", False)
-    if img_capacity is None:
-        img_capacity = 2 * nmax
-    icfg = dataclasses.replace(cfg, nmax=img_capacity)
+    dim, L, n = cfg.dim, cfg.box_length, cfg.n_atoms
 
     # ---- flat views -------------------------------------------------------
     flat = cells.unbin(cfg, state.pos, state.occ)      # [N, dim (+E)]
@@ -155,6 +125,34 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
     rpos, rocc, _ = cells.bin_particles(
         cfg, coords, extra=jnp.concatenate([attrs, ids], axis=1))
 
+    seed_id = jax.random.randint(ks, (), 0, n)
+    flags0 = jnp.zeros((n,), jnp.bool_).at[seed_id].set(True)
+    return (coords, attrs, img, ipos, iocc, ioverflow, rpos, rocc,
+            pivot, salt, flags0)
+
+
+def _grow_cluster(cfg: SimConfig, icfg: SimConfig, pot: Potential,
+                  rpos, rocc, ipos, iocc, flags0, pivot, salt,
+                  shift_fn=cells.roll_shift_fn, block_offset=None,
+                  reduce_axes: tuple = ()):
+    """Label-propagation cluster growth to fixpoint -> flat flag vector.
+
+    Mesh-shardable by construction: the image/real slabs are frozen during
+    growth, so ALL cross-shard traffic happens once in the neighbor-stack
+    build (`shift_fn` = the halo-ppermute ShiftFn under shard_map,
+    `block_offset` = the shard's global block offset for the periodic-edge
+    unwrap).  The [N] flag vector is replicated on every shard; each round
+    scatters the shard's local hits into it and merges with a pmax over
+    ``reduce_axes`` — the recruitment closure is partition-invariant, so
+    sharded and single-chip growth produce IDENTICAL flags.
+    """
+    hard = pot.has_hard_core
+    energetic = getattr(pot, "has_energy", False)
+    mixture = getattr(pot, "is_mixture", False)
+    dim, nmax, L = cfg.dim, cfg.nmax, cfg.box_length
+    beta = cfg.beta
+    img_capacity = icfg.nmax
+
     o0 = dim if energetic else None              # orig-coord plane base
     a0 = dim + (dim if energetic else 0)         # attr plane base (image slab)
     id_plane_r = rpos[:, -1].astype(jnp.int32)         # [colors, nmax, *bs]
@@ -167,7 +165,8 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
     # orig-coordinate planes use explicit minimum image below.
     nbr_pos, nbr_occ, nbr_ids, nbr_sp, nbr_orig = [], [], [], [], []
     for color in range(cfg.n_colors):
-        np_, no_ = cells.neighbor_stack(icfg, ipos, iocc, color)
+        np_, no_ = cells.neighbor_stack(icfg, ipos, iocc, color,
+                                        shift_fn, block_offset)
         # append the center (same-color, unshifted) image block as slab K
         np_ = jnp.concatenate([np_, ipos[color][None]], axis=0)
         no_ = jnp.concatenate([no_, iocc[color][None]], axis=0)
@@ -186,17 +185,14 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
     if energetic:
         rnbr_pos, rnbr_rocc, rnbr_ids, rnbr_sp = [], [], [], []
         for color in range(cfg.n_colors):
-            np_, no_ = cells.neighbor_stack(cfg, rpos, rocc, color)
+            np_, no_ = cells.neighbor_stack(cfg, rpos, rocc, color,
+                                            shift_fn, block_offset)
             np_ = jnp.concatenate([np_, rpos[color][None]], axis=0)
             no_ = jnp.concatenate([no_, rocc[color][None]], axis=0)
             rnbr_pos.append(np_[:, :dim])
             rnbr_ids.append(np_[:, -1].astype(jnp.int32))
             rnbr_rocc.append(no_)
             rnbr_sp.append(np_[:, dim] if mixture else None)
-
-    # ---- seed -------------------------------------------------------------
-    seed_id = jax.random.randint(ks, (), 0, n)
-    flags0 = jnp.zeros((n,), jnp.bool_).at[seed_id].set(True)
 
     slot_valid_i = [
         (jnp.arange(img_capacity, dtype=jnp.int32)[:, None, None]
@@ -287,9 +283,58 @@ def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
     def body(carry):
         flags, _ = carry
         new = recruit(flags)
+        if reduce_axes:
+            # merge the shards' local hits; the result is replicated, so
+            # the while cond stays shard-consistent by construction
+            new = jax.lax.pmax(new.astype(jnp.int32), reduce_axes) > 0
         return new, jnp.any(new != flags)
 
     flags, _ = jax.lax.while_loop(cond, body, (flags0, jnp.bool_(True)))
+    return flags
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def gca_move(cfg: SimConfig, pot: Potential, state: SimState, key: jax.Array,
+             img_capacity: int | None = None
+             ) -> tuple[SimState, jax.Array]:
+    """One geometric cluster move on a hard-core state.
+
+    Bond rule (Liu & Luijten, PRL 92, 035504 (2004), of which Dress-Krauth
+    is the hard-core limit): outsider j bonds to cluster member i with
+    probability ``p = 1 - exp(-beta * max(E(|T(r_i) - r_j|) -
+    E(|r_i - r_j|), 0))`` — certainly (p = 1) when the reflected member
+    overlaps j's hard core.  The move is rejection-free for ANY pair
+    potential; cfg.beta supplies the temperature for the energetic part.
+
+    Args:
+      cfg/pot: any potential with a hard core and/or a pair energy —
+        HardSphere and hard-sphere mixtures are the classic GCA; LJ,
+        square-well, Yukawa, and LJ mixtures get full Liu-Luijten bonds.
+      state: slab state; mixtures' species plane rides along untouched.
+      key: one-shot Threefry key (caller splits; ``state.key`` is not
+        consumed here so cluster moves compose with the sweep schedule's
+        key discipline).
+      img_capacity: slab capacity for binning the reflected images.  A
+        reflected cell straddles up to 2^dim grid cells, so transient
+        image-cell occupancy can exceed the equilibrium slab fill; default
+        2*nmax (overflow is detected and folded into ``state.overflow``).
+
+    Returns:
+      (new_state, cluster_size).  Rejection-free: the move always applies.
+    """
+    hard = pot.has_hard_core
+    energetic = getattr(pot, "has_energy", False)
+    if not (hard or energetic):
+        raise ValueError("gca_move needs a potential with a hard core "
+                         "and/or a pair energy")
+    if img_capacity is None:
+        img_capacity = 2 * cfg.nmax
+    icfg = dataclasses.replace(cfg, nmax=img_capacity)
+
+    (coords, attrs, img, ipos, iocc, ioverflow, rpos, rocc,
+     pivot, salt, flags0) = _gca_prep(cfg, icfg, pot, state, key)
+    flags = _grow_cluster(cfg, icfg, pot, rpos, rocc, ipos, iocc,
+                          flags0, pivot, salt)
 
     # ---- apply: reflect the cluster, re-bin -------------------------------
     new_coords = jnp.where(flags[:, None], img, coords)

@@ -1,3 +1,3 @@
-from mcjax.parallel import ensemble, mesh
+from mcjax.parallel import cluster, ensemble, mesh
 
-__all__ = ["ensemble", "mesh"]
+__all__ = ["cluster", "ensemble", "mesh"]

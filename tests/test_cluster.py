@@ -271,6 +271,110 @@ def test_gca_mixture_species_conserved():
     assert (r >= dmat[sp[:, None], sp[None]] - 1e-5).all()
 
 
+# ---- sharded cluster moves (virtual CPU mesh) -------------------------------
+
+def _make_mesh(shape, names):
+    import numpy as _np
+    devs = _np.array(jax.devices()[: math.prod(shape)]).reshape(shape)
+    from jax.sharding import Mesh
+    return Mesh(devs, names)
+
+
+def _mesh_cfg(n=256, phi=0.42, nmax=8, seed=0):
+    """Hard-disk config whose half-grid divides a 2x2 spatial mesh."""
+    box = math.sqrt(n * math.pi / 4.0 / phi)
+    cps = int(box // 2.0)
+    cps -= cps % 4                       # half_cps divisible by 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=nmax, n_moves=2, proposal="uniform",
+                    step_size=0.15, beta=1.0, seed=seed)
+    pot = HardSphere(1.0)
+    cfg.validate_against(pot.r_cut)
+    return cfg, pot
+
+
+def test_gca_sharded_matches_single():
+    """Sharded growth (halo stacks + per-round flag pmax) is bitwise equal
+    to the single-chip move: the label-propagation closure is
+    partition-invariant and all float ops are identical."""
+    from mcjax.parallel import mesh as pmesh
+    from mcjax.parallel.cluster import make_gca_move_sharded
+
+    cfg, pot = _mesh_cfg()
+    state = _equilibrate(cfg, pot, sweeps=15)
+    m = _make_mesh((2, 2), ("y", "x"))
+    move = make_gca_move_sharded(cfg, pot, m, ("y", "x"))
+    st_sh = pmesh.shard_state(cfg, state, m, ("y", "x"))
+
+    for trial in range(3):
+        key = jax.random.key(40 + trial)
+        ref, ref_size = gca_move(cfg, pot, state, key)
+        got, got_size = move(st_sh, key)
+        assert int(got_size) == int(ref_size)
+        np.testing.assert_array_equal(np.asarray(got.pos),
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(got.occ),
+                                      np.asarray(ref.occ))
+        state, st_sh = ref, got
+    assert int(jnp.sum(state.occ)) == cfg.n_atoms
+
+
+def test_gca_sharded_energetic_matches_single():
+    """Liu-Luijten (LJ) bonds ride the sharded path too — exercises the
+    broken-old-bond real-slab halo stacks."""
+    from mcjax.parallel import mesh as pmesh
+    from mcjax.parallel.cluster import make_gca_move_sharded
+    from mcjax.ops.sweep import run_sweeps
+
+    n, rho, T = 128, 0.35, 2.0
+    box = math.sqrt(n / rho)
+    cps = int(box // 2.5)
+    cps -= cps % 4
+    pot = LennardJones(r_cut=2.5)
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=12, n_moves=2, proposal="gaussian", step_size=0.15,
+                    beta=1.0 / T, seed=4)
+    cfg.validate_against(pot.r_cut)
+    state = init_state(cfg, positions=cells.stratified_positions(cfg))
+    state, _ = run_sweeps(cfg, pot, state, 10)
+
+    m = _make_mesh((2, 2), ("y", "x"))
+    move = make_gca_move_sharded(cfg, pot, m, ("y", "x"))
+    st_sh = pmesh.shard_state(cfg, state, m, ("y", "x"))
+    for trial in range(2):
+        key = jax.random.key(70 + trial)
+        ref, ref_size = gca_move(cfg, pot, state, key)
+        got, got_size = move(st_sh, key)
+        assert int(got_size) == int(ref_size)
+        np.testing.assert_array_equal(np.asarray(got.pos),
+                                      np.asarray(ref.pos))
+        state, st_sh = ref, got
+
+
+def test_sharded_cluster_mix_schedule():
+    """Halo-sharded sweeps + sharded cluster moves compose; invariants hold
+    and the state stays distributed."""
+    from mcjax.parallel import mesh as pmesh
+    from mcjax.parallel.cluster import make_sharded_cluster_mix
+
+    cfg, pot = _mesh_cfg(n=192, phi=0.40)
+    state = _equilibrate(cfg, pot, sweeps=10)
+    m = _make_mesh((2, 2), ("y", "x"))
+    step = make_sharded_cluster_mix(cfg, pot, m, ("y", "x"),
+                                    sweeps_per_round=2,
+                                    clusters_per_round=2)
+    st = pmesh.shard_state(cfg, state, m, ("y", "x"))
+    for _ in range(2):
+        st, sizes = step(st)
+        assert sizes.shape == (2,)
+        assert (np.asarray(sizes) >= 1).all()
+    assert int(jnp.sum(st.occ)) == cfg.n_atoms
+    assert not bool(st.overflow)
+    assert len(st.pos.sharding.device_set) == 4
+    coords = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+    assert _pair_dist2(coords, cfg.box_length).min() >= 1.0 - 1e-5
+
+
 def test_run_cluster_mix_schedule():
     cfg, pot = _hard_disk_cfg(n=64, phi=0.40)
     state = _equilibrate(cfg, pot, sweeps=10)
