@@ -67,7 +67,11 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
               beta: jax.Array | float | None = None,
               u_old: jax.Array | None = None,
               do_volume: jax.Array | bool = True,
-              substep_fn=None
+              substep_fn=None,
+              shift_fn=None,
+              block_offset: jax.Array | None = None,
+              shard_id: jax.Array | None = None,
+              psum_axes: tuple = ()
               ) -> tuple[NPTState, NPTMetrics]:
     """One NPT MC sweep: a full particle sweep at fixed volume, then one
     ln-V volume move.
@@ -79,19 +83,42 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
     free. None falls back to an exact pass at the current scale.
     ``do_volume`` (traced bool): skip the volume move (and its energy pass)
     entirely this sweep — see run_npt's ``volume_every``.
+
+    Mesh runs (``mcjax.parallel.npt``): pass the halo ``shift_fn`` +
+    ``block_offset``/``shard_id`` (as for ``mc_sweep``) and the sharded
+    mesh axis names as ``psum_axes``. Energies and metrics come back
+    psum'd GLOBAL; the ln-V proposal/acceptance randomness hangs off the
+    replicated ``sim.key`` (schedule tree, no shard fold-in), so every
+    shard takes the same volume decision — the stored-frame convention
+    makes that decision a pure scalar update (``log_scale``), leaving the
+    sharded cell geometry untouched.
     """
     if beta is None:
         beta = cfg.beta
+    if shift_fn is None:
+        from mcjax.ops.cells import roll_shift_fn
+        shift_fn = roll_shift_fn
     dim, n = cfg.dim, cfg.n_atoms
     l0 = cfg.box_length
 
+    def _psum(x):
+        return jax.lax.psum(x, psum_axes) if psum_axes else x
+
     s = jnp.exp(nst.log_scale)
-    sim, m = mc_sweep(cfg, pot, nst.sim, scale=s,
-                      substep_fn=substep_fn)
+    sim, m = mc_sweep(cfg, pot, nst.sim, shift_fn, beta, block_offset,
+                      shard_id, scale=s, substep_fn=substep_fn)
+    if psum_axes:
+        m = SweepMetrics(
+            delta_e=_psum(m.delta_e),
+            accepted=_psum(m.accepted),
+            proposed=_psum(m.proposed),
+            overflow=_psum(m.overflow.astype(jnp.int32)) > 0,
+        )
 
     if u_old is None:
         u_cur, _ = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
-                                           scale=s)
+                                           shift_fn, scale=s)
+        u_cur = _psum(u_cur)
     else:
         u_cur = u_old + m.delta_e
 
@@ -104,7 +131,9 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
 
     def volume_move():
         u_new, ov_new = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
-                                                scale=s_new)
+                                                shift_fn, scale=s_new)
+        u_new = _psum(u_new)
+        ov_new = _psum(ov_new.astype(jnp.int32)) > 0 if psum_axes else ov_new
         v_old = (s * l0) ** dim
         v_new = (s_new * l0) ** dim
         ln_acc = (-beta * (u_new - u_cur)

@@ -1,3 +1,3 @@
-from mcjax.parallel import cluster, ensemble, mesh
+from mcjax.parallel import cluster, ensemble, mesh, npt
 
-__all__ = ["cluster", "ensemble", "mesh"]
+__all__ = ["cluster", "ensemble", "mesh", "npt"]

@@ -150,3 +150,64 @@ def test_npt_pallas_substep_bitwise_matches_xla():
     np.testing.assert_array_equal(np.asarray(n1.log_scale),
                                   np.asarray(n2.log_scale))
     assert float(jnp.abs(n1.log_scale)) > 0      # volume moves were live
+
+
+# ---- sharded NPT (virtual CPU mesh) -----------------------------------------
+
+def _make_mesh(shape, names):
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[: math.prod(shape)]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def test_sharded_npt_ideal_gas_eos():
+    """NPT composes with the mesh: ideal gas on a 2x2 spatial mesh obeys
+    <V> = (N+1)/(beta P) exactly (ln-V sampling), with the volume decision
+    replicated across shards by construction."""
+    from mcjax.parallel.npt import make_sharded_run_npt, shard_npt_state
+
+    cfg = SimConfig(dim=3, n_atoms=64, box_length=20.0, cells_per_side=4,
+                    nmax=10, n_moves=2, proposal="gaussian", step_size=0.5,
+                    beta=1.0)
+    pot = LennardJones(epsilon=0.0)
+    m = _make_mesh((2, 2), ("y", "x"))
+    spatial = (None, "y", "x")
+    p = (cfg.n_atoms + 1) / cfg.box_length**3  # target <V> = V0
+    nst = npt.init_npt(init_state(cfg))
+    nst = shard_npt_state(cfg, nst, m, spatial)
+    run_eq = make_sharded_run_npt(cfg, pot, m, spatial, p, 300, 0.1)
+    run_ms = make_sharded_run_npt(cfg, pot, m, spatial, p, 1200, 0.1)
+    nst, _ = run_eq(nst)
+    nst, mtr = run_ms(nst)
+    v_mean = float(jnp.mean(mtr.volume))
+    v_exact = (cfg.n_atoms + 1) / p
+    assert abs(v_mean - v_exact) / v_exact < 0.06, (v_mean, v_exact)
+    assert 0.2 < float(jnp.mean(mtr.vol_accepted)) <= 1.0
+    assert int(jnp.sum(nst.sim.occ)) == cfg.n_atoms
+    assert len(nst.sim.pos.sharding.device_set) == 4
+
+
+def test_sharded_npt_carried_energy_matches_exact():
+    """The carried (dE-accumulated, psum'd) energy tracks an exact global
+    recompute — validates every halo read and psum in the sharded NPT path."""
+    from mcjax.ops.sweep import total_interaction_cells
+    from mcjax.parallel.npt import make_sharded_run_npt, shard_npt_state
+
+    cfg = SimConfig(dim=2, n_atoms=48, box_length=12.0, cells_per_side=4,
+                    nmax=10, n_moves=3, proposal="gaussian", step_size=0.15,
+                    beta=0.8)
+    pot = LennardJones(r_cut=2.5, shift=True)
+    m = _make_mesh((2, 2), ("y", "x"))
+    nst = npt.init_npt(init_state(cfg, seed=2))
+    nst = shard_npt_state(cfg, nst, m, ("y", "x"))
+    run = make_sharded_run_npt(cfg, pot, m, ("y", "x"), 0.5, 120, 0.03)
+    nst, mtr = run(nst)
+    u_exact = float(total_interaction_cells(cfg, pot, nst.sim.pos,
+                                            nst.sim.occ,
+                                            scale=nst.scale)[0])
+    u_carried = float(mtr.energy[-1])
+    assert abs(u_carried - u_exact) <= 1e-3 * max(1.0, abs(u_exact)), (
+        u_carried, u_exact)
+    assert float(jnp.abs(nst.log_scale)) > 0  # volume moves live
+    assert int(jnp.sum(nst.sim.occ)) == cfg.n_atoms
+    assert not bool(nst.sim.overflow)
