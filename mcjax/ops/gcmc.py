@@ -168,15 +168,191 @@ def gc_phase(cfg: SimConfig, pot: Potential, pos: jax.Array, occ: jax.Array,
     return pos, occ, n_ins, n_del, n_cap
 
 
+def _gc_color_phase(cfg: SimConfig, pot: Potential, color: int,
+                    pos: jax.Array, occ: jax.Array,
+                    ln_zv: jax.Array, key: jax.Array,
+                    beta, shift_fn, block_offset):
+    """One insert-or-delete attempt in EVERY cell of one checkerboard color,
+    simultaneously.
+
+    muVT factorizes over disjoint subvolumes: with the environment frozen,
+    the restricted ensemble of one cell (subvolume v = w^dim holding n
+    particles) is itself grand-canonical at the same activity, so the
+    per-cell acceptances are min(1, z*v/(n+1) e^{-beta dU}) for insertion
+    at a uniform point of the CELL and min(1, n/(z*v) e^{+beta dU}) for
+    deleting a uniform particle OF the cell. Same-color cells are >= w
+    >= r_cut apart, so simultaneous attempts cannot interact and every
+    dU reads only frozen neighbor blocks — exactly the sweep engine's
+    checkerboard correctness argument (and its halo-sharding one:
+    ``shift_fn``/``block_offset`` plug in unchanged).
+
+    Returns (own_new, occ_color_new, inserted, deleted, capacity_rejects).
+    """
+    from mcjax.ops.sweep import _cell_lower_bounds
+
+    dim, nmax = cfg.dim, cfg.nmax
+    w = cfg.cell_width
+    own = pos[color]                        # [dim, nmax, *bs]
+    own_occ = occ[color]                    # [*bs]
+    bs = own_occ.shape
+    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
+                                            block_offset)
+    lbp = _cell_lower_bounds(cfg, color, bs, block_offset)  # [dim, *bs]
+
+    k_kind, k_pt, k_pick, k_acc = jax.random.split(key, 4)
+    do_insert = jax.random.uniform(k_kind, bs) < 0.5
+    pt = lbp + w * jax.random.uniform(k_pt, (dim, *bs))
+    pick_u = jax.random.uniform(k_pick, bs)
+    ln_u = jnp.log(jax.random.uniform(k_acc, bs, minval=1e-38, maxval=1.0))
+
+    slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+    nbr_valid = slot[None] < nbr_occ[:, None]
+    n_c = own_occ.astype(jnp.float32)
+
+    def energy_at(x, sel):
+        """(dU, overlap) of a point x [dim, *bs] vs its cell ring; ``sel``
+        masks the deletion candidate out of the own-cell sum (all-False for
+        insertion). Neighbor planes are pre-unwrapped: no minimum image."""
+        d_own = x[:, None] - own
+        r2_own = jnp.sum(d_own * d_own, axis=0)             # [nmax, *bs]
+        valid_own = (slot < own_occ[None]) & ~sel
+        e_o, ov_o = pair_interaction(pot, r2_own, valid_own)
+        d_nbr = x[None, :, None] - nbr_pos
+        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=1)             # [K, nmax, *bs]
+        e_n, ov_n = pair_interaction(pot, r2_nbr, nbr_valid)
+        return (jnp.sum(e_o, axis=0) + jnp.sum(e_n, axis=(0, 1)),
+                jnp.any(ov_o, axis=0) | jnp.any(ov_n, axis=(0, 1)))
+
+    no_sel = jnp.zeros((nmax,) + bs, jnp.bool_)
+
+    # ---- insertion leg (evaluated everywhere, applied where do_insert) ----
+    du_i, ov_i = energy_at(pt, no_sel)
+    has_room = own_occ < nmax
+    ln_acc_i = ln_zv - jnp.log(n_c + 1.0)
+    if pot.has_energy:
+        ln_acc_i = ln_acc_i - beta * du_i
+    metro_i = ln_u < ln_acc_i
+    # fp guard: w*u can round up to w, which would store a point just past
+    # the cell's upper face in this cell's slab (invariant violation);
+    # reject that measure-zero sliver outright
+    in_cell = jnp.all(pt < lbp + w, axis=0)
+    acc_i = do_insert & has_room & ~ov_i & metro_i & in_cell
+    cap = do_insert & ~has_room & ~ov_i & metro_i
+
+    # ---- deletion leg ------------------------------------------------------
+    nonempty = own_occ > 0
+    p = jnp.minimum(jnp.floor(pick_u * n_c).astype(jnp.int32),
+                    jnp.maximum(own_occ - 1, 0))
+    sel = slot == p[None]                                   # [nmax, *bs]
+    cand = jnp.sum(jnp.where(sel[None], own, 0.0), axis=1)  # [dim, *bs]
+    du_d, _ = energy_at(cand, sel)
+    ln_acc_d = jnp.log(jnp.maximum(n_c, 1.0)) - ln_zv
+    if pot.has_energy:
+        ln_acc_d = ln_acc_d + beta * du_d
+    acc_d = ~do_insert & nonempty & (ln_u < ln_acc_d)
+
+    # ---- apply (at most one of acc_i/acc_d per cell) -----------------------
+    ins_slot = slot == jnp.minimum(own_occ, nmax - 1)[None]
+    own = jnp.where((acc_i[None] & ins_slot)[None], pt[:, None], own)
+    # deletion: the last live slot fills the hole, cell shrinks by one
+    last_slot = slot == jnp.maximum(own_occ - 1, 0)[None]
+    mover = jnp.sum(jnp.where(last_slot[None], own, 0.0), axis=1)
+    own = jnp.where((acc_d[None] & sel)[None], mover[:, None], own)
+    occ_new = own_occ + acc_i.astype(jnp.int32) - acc_d.astype(jnp.int32)
+
+    return (own, occ_new, jnp.sum(acc_i.astype(jnp.int32)),
+            jnp.sum(acc_d.astype(jnp.int32)), jnp.sum(cap.astype(jnp.int32)))
+
+
+def gc_phase_checkerboard(cfg: SimConfig, pot: Potential, pos: jax.Array,
+                          occ: jax.Array, z: jax.Array | float,
+                          key: jax.Array,
+                          beta: jax.Array | float | None = None,
+                          shift_fn=None,
+                          block_offset: jax.Array | None = None,
+                          shard_id: jax.Array | None = None):
+    """Massively parallel GC phase: one insert/delete attempt per cell,
+    color by color (shuffled order), all cells of a color at once.
+
+    The TPU-native muVT formulation: the serial ``gc_phase`` scan does one
+    attempt per ~30 ns kernel-roundtrip-free step but still serializes; this
+    phase does n_cells attempts in 2^dim vectorized substeps and shards over
+    the mesh exactly like ``color_substep`` (per-cell acceptances need only
+    the LOCAL cell count n_c — no global-N collective at all).
+
+    Schedule randomness (color order) is shard-invariant; per-cell move
+    randomness folds in ``shard_id``. Returns
+    (pos, occ, inserted, deleted, capacity_rejects).
+    """
+    if beta is None:
+        beta = cfg.beta
+    if shift_fn is None:
+        from mcjax.ops.cells import roll_shift_fn
+        shift_fn = roll_shift_fn
+    n_colors = cfg.n_colors
+    vol_cell = cfg.cell_width ** cfg.dim
+    ln_zv = jnp.log(jnp.asarray(z, jnp.float32) * vol_cell)
+
+    k_perm, k_sub = jax.random.split(key)
+    if shard_id is not None:
+        k_sub = jax.random.fold_in(k_sub, shard_id)
+    perm = jax.random.permutation(k_perm, n_colors)
+
+    def branch(color: int, pos, occ, k):
+        own, occ_c, ins, dele, cap = _gc_color_phase(
+            cfg, pot, color, pos, occ, ln_zv, k, beta, shift_fn,
+            block_offset)
+        return pos.at[color].set(own), occ.at[color].set(occ_c), ins, \
+            dele, cap
+
+    branches = [partial(branch, c) for c in range(n_colors)]
+
+    def color_body(i, carry):
+        pos, occ, ins, dele, cap = carry
+        k = jax.random.fold_in(k_sub, i)
+        pos, occ, i_, d_, c_ = jax.lax.switch(perm[i], branches, pos, occ, k)
+        return pos, occ, ins + i_, dele + d_, cap + c_
+
+    zi = jnp.sum(occ[(0,) * occ.ndim] * 0)
+    pos, occ, n_ins, n_del, n_cap = jax.lax.fori_loop(
+        0, n_colors, color_body, (pos, occ, zi, zi, zi))
+    return pos, occ, n_ins, n_del, n_cap
+
+
 def gcmc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
                z: jax.Array | float, n_attempts: int,
-               beta: jax.Array | float | None = None
+               beta: jax.Array | float | None = None,
+               checkerboard: bool = False,
+               shift_fn=None,
+               block_offset: jax.Array | None = None,
+               shard_id: jax.Array | None = None,
+               substep_fn=None
                ) -> tuple[SimState, GCMetrics]:
-    """One muVT sweep: a full checkerboard particle sweep, then a GC phase."""
-    state, m = mc_sweep(cfg, pot, state)
+    """One muVT sweep: a full checkerboard particle sweep, then a GC phase.
+
+    ``checkerboard=True`` replaces the serial attempt scan with the
+    vectorized per-cell phase (``n_attempts`` then means phase REPEATS, not
+    single attempts; the conventional ~N attempts/sweep is one phase at
+    mean occupancy >= 1). The halo args (`shift_fn`/`block_offset`/
+    `shard_id`) make the whole sweep mesh-shardable (mcjax.parallel.gcmc).
+    """
+    if shift_fn is None:
+        from mcjax.ops.cells import roll_shift_fn
+        shift_fn = roll_shift_fn
+    state, m = mc_sweep(cfg, pot, state, shift_fn, beta, block_offset,
+                        shard_id, substep_fn=substep_fn)
     kg = jax.random.fold_in(state.key, -(2 * state.sweep + 1))
-    pos, occ, n_ins, n_del, n_cap = gc_phase(cfg, pot, state.pos, state.occ,
-                                             z, kg, n_attempts, beta)
+    if checkerboard:
+        pos, occ = state.pos, state.occ
+        n_ins = n_del = n_cap = jnp.sum(occ[(0,) * occ.ndim] * 0)
+        for r in range(max(1, n_attempts)):
+            pos, occ, i_, d_, c_ = gc_phase_checkerboard(
+                cfg, pot, pos, occ, z, jax.random.fold_in(kg, r), beta,
+                shift_fn, block_offset, shard_id)
+            n_ins, n_del, n_cap = n_ins + i_, n_del + d_, n_cap + c_
+    else:
+        pos, occ, n_ins, n_del, n_cap = gc_phase(
+            cfg, pot, state.pos, state.occ, z, kg, n_attempts, beta)
     st = SimState(pos=pos, occ=occ, key=state.key, sweep=state.sweep,
                   overflow=state.overflow)
     met = GCMetrics(sweep=m, n_particles=jnp.sum(occ),
@@ -184,18 +360,23 @@ def gcmc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
     return st, met
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
 def run_gcmc(cfg: SimConfig, pot: Potential, state: SimState,
-             z: jax.Array | float, n_sweeps: int, n_attempts: int = 0
+             z: jax.Array | float, n_sweeps: int, n_attempts: int = 0,
+             checkerboard: bool = False
              ) -> tuple[SimState, GCMetrics]:
     """n_sweeps muVT sweeps as one scan; metrics stacked per sweep.
 
     ``n_attempts=0`` defaults to ~N GC attempts per sweep (one per current
-    particle on average, the conventional rate)."""
+    particle on average, the conventional rate) for the serial phase, and
+    to ONE per-cell phase (= n_cells attempts) with ``checkerboard=True``
+    — the vectorized formulation that runs every cell's attempt at once
+    (see gc_phase_checkerboard)."""
     if n_attempts == 0:
-        n_attempts = max(1, cfg.n_atoms // 4)
+        n_attempts = 1 if checkerboard else max(1, cfg.n_atoms // 4)
 
     def body(st, _):
-        return gcmc_sweep(cfg, pot, st, z, n_attempts)
+        return gcmc_sweep(cfg, pot, st, z, n_attempts,
+                          checkerboard=checkerboard)
 
     return jax.lax.scan(body, state, length=n_sweeps)

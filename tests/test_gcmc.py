@@ -94,3 +94,106 @@ def test_gcmc_invariants_and_no_overlap():
     # the slab geometry is still valid: every particle is inside its cell
     from mcjax.utils.debug import validate_state
     validate_state(cfg, st, hs, expect_atoms=n_now)
+
+
+# ---- checkerboard (vectorized, shardable) GC phase ---------------------------
+
+def test_gcmc_checkerboard_ideal_gas_exact():
+    """The per-cell subvolume acceptances sample the same muVT measure:
+    <N> = zV exactly for the ideal gas, N ~ Poisson."""
+    cfg = SimConfig(dim=2, n_atoms=40, box_length=12.0, cells_per_side=4,
+                    nmax=14, n_moves=2, proposal="uniform", step_size=0.5,
+                    beta=1.0)
+    pot = LennardJones(epsilon=0.0)
+    st = init_state(cfg)
+    n_target = 40.0
+    z = n_target / cfg.box_length ** 2
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 300, checkerboard=True)
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 1500, checkerboard=True)
+    n_mean = float(jnp.mean(m.n_particles.astype(jnp.float32)))
+    assert abs(n_mean - n_target) / n_target < 0.06, n_mean
+    n_var = float(jnp.var(m.n_particles.astype(jnp.float32)))
+    assert 0.3 * n_mean < n_var < 3.0 * n_mean, (n_mean, n_var)
+    assert int(jnp.sum(m.capacity_rejects)) == 0
+    assert int(jnp.sum(m.inserted)) > 100
+    assert int(jnp.sum(m.deleted)) > 100
+
+
+def test_gcmc_checkerboard_hard_disks_matches_serial():
+    """Interacting check: at one activity, the checkerboard phase and the
+    serial scan settle at the same density (both satisfy balance)."""
+    n, phi = 96, 0.25
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=2, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    z = 0.6
+
+    def mean_n(checkerboard, n_attempts, seed):
+        st = init_state(cfg, seed=seed)
+        st, _ = gcmc.run_gcmc(cfg, hs, st, z, 300, n_attempts, checkerboard)
+        st, m = gcmc.run_gcmc(cfg, hs, st, z, 1200, n_attempts, checkerboard)
+        ns = np.asarray(m.n_particles, dtype=np.float64)
+        # crude autocorr-insensitive error: batch means over 8 blocks
+        bm = ns.reshape(8, -1).mean(1)
+        return ns.mean(), bm.std() / math.sqrt(len(bm) - 1)
+
+    m_ser, s_ser = mean_n(False, 32, seed=1)
+    m_chk, s_chk = mean_n(True, 1, seed=2)
+    tol = 4.0 * math.hypot(s_ser, s_chk) + 0.02 * m_ser
+    assert abs(m_ser - m_chk) < tol, (m_ser, s_ser, m_chk, s_chk)
+
+
+def test_gcmc_checkerboard_invariants():
+    from mcjax.models.reference import total_energy
+    from mcjax.ops import cells
+
+    n, phi = 64, 0.25
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=2, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    st = init_state(cfg)
+    st, m = gcmc.run_gcmc(cfg, hs, st, 0.3, 200, checkerboard=True)
+    occ = np.asarray(st.occ)
+    assert (occ >= 0).all() and (occ <= cfg.nmax).all()
+    n_now = int(occ.sum())
+    assert n_now == int(m.n_particles[-1])
+    r = np.asarray(cells.unbin(cfg, st.pos, st.occ, n_out=n_now))
+    _, ov = total_energy(hs, r, cfg.box_length)
+    assert not bool(ov)
+    from mcjax.utils.debug import validate_state
+    validate_state(cfg, st, hs, expect_atoms=n_now)
+
+
+def test_sharded_gcmc_ideal_gas():
+    """muVT composes with the mesh: <N> = zV on a 2x2 spatial mesh, with
+    per-cell acceptances needing no global-N collective."""
+    from mcjax.parallel import mesh as pmesh
+    from mcjax.parallel.gcmc import make_sharded_run_gcmc
+    from jax.sharding import Mesh
+
+    cfg = SimConfig(dim=2, n_atoms=48, box_length=16.0, cells_per_side=8,
+                    nmax=12, n_moves=2, proposal="uniform", step_size=0.5,
+                    beta=1.0)
+    pot = LennardJones(epsilon=0.0)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    m = Mesh(devs, ("y", "x"))
+    n_target = 48.0
+    z = n_target / cfg.box_length ** 2
+    st = pmesh.shard_state(cfg, init_state(cfg), m, ("y", "x"))
+    run_eq = make_sharded_run_gcmc(cfg, pot, m, ("y", "x"), z, 300)
+    run_ms = make_sharded_run_gcmc(cfg, pot, m, ("y", "x"), z, 1200)
+    st, _ = run_eq(st)
+    st, mtr = run_ms(st)
+    n_mean = float(jnp.mean(mtr.n_particles.astype(jnp.float32)))
+    assert abs(n_mean - n_target) / n_target < 0.07, n_mean
+    assert int(jnp.sum(mtr.capacity_rejects)) == 0
+    assert int(jnp.sum(st.occ)) == int(mtr.n_particles[-1])
+    assert len(st.pos.sharding.device_set) == 4
