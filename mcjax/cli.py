@@ -59,6 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated inverse temperatures: runs "
                         "parallel tempering with replica-exchange swaps "
                         "every --chunk sweeps")
+    p.add_argument("--activity", type=float, default=None, metavar="Z",
+                   help="muVT (grand-canonical) run at activity z = "
+                        "e^{beta mu}/Lambda^d: checkerboard insertion/"
+                        "deletion phases between sweeps (mcjax.ops.gcmc)")
+    p.add_argument("--gc-attempts", type=int, default=1, metavar="R",
+                   help="GC phase repeats per sweep (each phase attempts "
+                        "one insert-or-delete in EVERY cell)")
+    p.add_argument("--sk", type=float, default=None, metavar="KMAX",
+                   help="print the radially averaged structure factor "
+                        "S(|k|) up to KMAX at the end of the run")
     p.add_argument("--widom", type=int, default=None, metavar="K",
                    help="Widom insertion with K ghost particles at the end "
                         "(prints <B> and mu_excess)")
@@ -272,6 +282,8 @@ def main(argv=None) -> int:
         return tempering_main(args, cfg, pot)
     if args.pressure is not None:
         return npt_main(args, cfg, pot, state)
+    if args.activity is not None:
+        return gcmc_main(args, cfg, pot, state)
 
     engine = args.engine
     if engine == "auto":
@@ -414,6 +426,11 @@ def main(argv=None) -> int:
         r_cut = min(1.4, cfg.cell_width)
         val = float(observables.psi6_cells(cfg, state.pos, state.occ, r_cut))
         print(f"psi6 {val:.6f}")
+    if args.sk is not None:
+        ks, s = observables.structure_factor_radial(cfg, state.pos,
+                                                    state.occ, args.sk)
+        for kk, ss in zip(ks, s):
+            print(f"sk {kk:.4f} {ss:.4f}")
     acc = accepted / max(proposed, 1)
     rate = proposed / dt
     print(f"# {int(state.sweep)} sweeps; acceptance {acc:.3f}; "
@@ -463,6 +480,47 @@ def npt_main(args, cfg, pot, state) -> int:
     print(f"# NPT {int(nst.sim.sweep)} sweeps at P={args.pressure}; "
           f"volume acceptance {vol_acc}/{max(vol_try, 1)}; "
           f"overflow {bool(nst.sim.overflow)}; {dt:.1f}s", file=sys.stderr)
+    return 0
+
+
+def gcmc_main(args, cfg, pot, state) -> int:
+    """muVT driver branch: checkerboard insertion/deletion phases between
+    sweeps (mcjax.ops.gcmc; the reference's particle count is a compile-time
+    constant, kernel.cu:17)."""
+    import jax.numpy as jnp
+
+    from mcjax.ops import gcmc as gcmc_mod
+    from mcjax.utils import io
+
+    if getattr(pot, "is_mixture", False):
+        raise SystemExit("--activity currently supports single-species "
+                         "models (muVT mixture runs: use the library API)")
+    chunks = [args.chunk] * (args.sweeps // args.chunk)
+    if args.sweeps % args.chunk:
+        chunks.append(args.sweeps % args.chunk)
+    t0 = time.perf_counter()
+    ins = dele = cap = 0
+    n_hist = []
+    for chunk in chunks:
+        state, m = gcmc_mod.run_gcmc(cfg, pot, state, args.activity, chunk,
+                                     args.gc_attempts, checkerboard=True)
+        ins += int(jnp.sum(m.inserted))
+        dele += int(jnp.sum(m.deleted))
+        cap += int(jnp.sum(m.capacity_rejects))
+        n_hist.append(np.asarray(m.n_particles, np.int64))
+        if not args.quiet:
+            print(f"{int(state.sweep)}: N {int(m.n_particles[-1])}")
+        if args.checkpoint:
+            io.save_checkpoint(args.checkpoint, cfg, state, pot)
+    dt = time.perf_counter() - t0
+    n_all = np.concatenate(n_hist)
+    print(f"# muVT {int(state.sweep)} sweeps at z={args.activity}; "
+          f"<N> {n_all.mean():.1f} (start {cfg.n_atoms}); "
+          f"+{ins}/-{dele} accepted, {cap} capacity rejects; "
+          f"overflow {bool(state.overflow)}; {dt:.1f}s", file=sys.stderr)
+    if cap:
+        print("# WARNING: capacity rejects > 0 — raise --nmax for unbiased "
+              "muVT sampling", file=sys.stderr)
     return 0
 
 

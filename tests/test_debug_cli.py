@@ -224,3 +224,31 @@ def test_cli_cluster_moves(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     lines = [l for l in out2.stdout.splitlines() if ":" in l]
     assert lines[-1].startswith("4:")
+
+
+def test_cli_gcmc_activity(tmp_path):
+    """--activity routes to the checkerboard muVT driver; N trace prints and
+    the summary reports insert/delete counts."""
+    out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "64",
+                  "--phi", "0.25", "--n-moves", "2", "--beta", "1.0",
+                  "--sigma", "0.15", "--activity", "0.3",
+                  "--sweeps", "30", "--chunk", "10",
+                  "--checkpoint", str(tmp_path / "gc.npz"))
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l and l[0].isdigit()]
+    assert len(lines) == 3 and all("N " in l for l in lines)
+    assert "muVT" in out.stderr and "<N>" in out.stderr
+    assert (tmp_path / "gc.npz").exists()
+
+
+def test_cli_structure_factor(tmp_path):
+    out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "64",
+                  "--phi", "0.40", "--n-moves", "2", "--beta", "1.0",
+                  "--sigma", "0.15", "--sweeps", "10", "--chunk", "10",
+                  "--sk", "8.0", "--quiet")
+    assert out.returncode == 0, out.stderr[-2000:]
+    sk = [l for l in out.stdout.splitlines() if l.startswith("sk ")]
+    assert len(sk) > 5
+    ks = np.array([float(l.split()[1]) for l in sk])
+    ss = np.array([float(l.split()[2]) for l in sk])
+    assert (ks <= 8.0 + 1e-6).all() and (ss >= 0).all()
