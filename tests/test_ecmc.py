@@ -1,0 +1,175 @@
+"""Event-chain MC (ops/ecmc.py): brute-force event-loop oracle, EOS via the
+lift-excess pressure estimator, slab invariants, replica ensembles.
+
+The reference has no rejection-free moves at all; the oracle here is an
+O(N) numpy simulation of the exact same lifted dynamics with min-image
+collision search (no cells, no face bookkeeping) driven by the same start
+particle / axis schedule.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcjax.core.config import SimConfig
+from mcjax.core.state import init_state
+from mcjax.models.potentials import HardSphere
+from mcjax.ops import cells, ecmc
+from mcjax.ops.gcmc import _flat_view
+from mcjax.ops.sweep import run_sweeps
+
+
+def _hd_cfg(n=96, phi=0.40, nmax=10, seed=0):
+    box = math.sqrt(n * math.pi / 4.0 / phi)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=nmax, n_moves=2, proposal="uniform",
+                    step_size=0.15, beta=1.0, seed=seed)
+    return cfg, HardSphere(1.0)
+
+
+def _equilibrate(cfg, pot, sweeps=60):
+    st = init_state(cfg, positions=cells.stratified_positions(
+        cfg, min_separation=1.0))
+    st, _ = run_sweeps(cfg, pot, st, sweeps)
+    return st
+
+
+def _min_image(d, L):
+    return d - L * np.round(d / L)
+
+
+def _oracle_chain(coords, start, axis, ell, L, sigma=1.0):
+    """Exact serial ECMC chain on a point set: O(N) collision search per
+    event, no cells. Returns (coords, excess, lifts)."""
+    x = coords.astype(np.float64).copy()
+    n = x.shape[0]
+    act = start
+    budget = float(ell)
+    excess = 0.0
+    lifts = 0
+    while budget > 1e-14:
+        d = _min_image(x - x[act], L)
+        d_a = d[:, axis]
+        d_perp2 = (d ** 2).sum(1) - d_a ** 2
+        disc = sigma * sigma - d_perp2
+        hit = (disc > 0) & (d_a > 0)
+        hit[act] = False
+        t = np.where(hit, d_a - np.sqrt(np.maximum(disc, 0.0)), np.inf)
+        t = np.maximum(t, 0.0)
+        j = int(np.argmin(t))
+        if t[j] < budget:
+            x[act, axis] += t[j]
+            budget -= t[j]
+            excess += math.sqrt(max(disc[j], 0.0))
+            lifts += 1
+            act = j
+        else:
+            x[act, axis] += budget
+            budget = 0.0
+        x[act, axis] = (x[act, axis] + L / 2.0) % L - L / 2.0
+    return x, excess, lifts
+
+
+def test_ecmc_matches_bruteforce_oracle():
+    """Chain-by-chain parity: same start/axis schedule -> same point set and
+    same lift excess as the exact O(N) event loop."""
+    cfg, pot = _hd_cfg(n=64, phi=0.42)
+    st = _equilibrate(cfg, pot)
+    L = cfg.box_length
+    key = jax.random.key(11)
+
+    for chain in range(6):
+        axis = chain % 2
+        # mirror run_ecmc's start pick on the host to locate the start coord
+        fp, fo = (np.asarray(a) for a in _flat_view(cfg, st.pos, st.occ))
+        k = jax.random.fold_in(key, 0)   # i=0 inside a 1-chain run
+        n_tot = int(fo.sum())
+        j = min(int(float(jax.random.uniform(k)) * n_tot), n_tot - 1)
+        cum = np.cumsum(fo)
+        cell0 = int(np.searchsorted(cum, j, side="right"))
+        slot0 = j - (cum[cell0 - 1] if cell0 > 0 else 0)
+        r0 = fp[cell0, :, slot0]
+
+        before = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+        start = int(np.argmin(((before - r0) ** 2).sum(1)))
+        expect, exc_o, lifts_o = _oracle_chain(before, start, axis,
+                                               L / 2.0, L)
+
+        st, m = ecmc.run_ecmc(cfg, pot, st, key, 1, float(L / 2.0),
+                              axis0=axis)
+        key = jax.random.fold_in(key, 1000 + chain)  # fresh key per chain
+        after = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+        # point-set match (impl splits flights at cell faces -> f32 sums
+        # differ at ~1e-5; column-sorting is rank-unstable at that scale)
+        d = _min_image(after[:, None, :] - expect[None, :, :], L)
+        nn = np.sqrt((d ** 2).sum(-1)).min(1)
+        assert nn.max() < 1e-3, (chain, nn.max())
+        assert int(m.lifts) == lifts_o
+        np.testing.assert_allclose(float(m.excess), exc_o, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_ecmc_pressure_matches_henderson():
+    """The Michel-Kapfer-Krauth lift-excess estimator reproduces the
+    hard-disk EOS: beta P / rho = Z_Henderson(phi) to a few percent."""
+    from mcjax.utils.observables import henderson_z_disks
+
+    cfg, pot = _hd_cfg(n=128, phi=0.40, nmax=12, seed=3)
+    st = _equilibrate(cfg, pot, sweeps=150)
+    ell = float(cfg.box_length / 2.0)
+    st, m = ecmc.run_ecmc(cfg, pot, st, jax.random.key(5), 3000, ell)
+    z_est = float(ecmc.pressure_from_metrics(m))
+    z_ref = henderson_z_disks(0.40)
+    assert int(m.capped) == 0 and not bool(st.overflow)
+    assert abs(z_est - z_ref) / z_ref < 0.04, (z_est, z_ref)
+
+
+def test_ecmc_invariants_and_slab_consistency():
+    """Face-crossing bookkeeping keeps the slab state valid: conservation,
+    no overlap, every particle inside its cell (validate_state)."""
+    from mcjax.models.reference import total_energy
+    from mcjax.utils.debug import validate_state
+
+    cfg, pot = _hd_cfg(n=96, phi=0.45, nmax=10, seed=1)
+    st = _equilibrate(cfg, pot)
+    st, m = ecmc.run_ecmc(cfg, pot, st, jax.random.key(2), 400,
+                          float(cfg.box_length / 2.0))
+    assert int(jnp.sum(st.occ)) == cfg.n_atoms
+    assert int(m.capped) == 0 and not bool(st.overflow)
+    r = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+    _, ov = total_energy(pot, r, cfg.box_length)
+    assert not bool(ov)
+    validate_state(cfg, st, pot)
+    assert int(m.lifts) > 0 and float(m.total_length) > 0
+
+
+def test_ecmc_ensemble_replicas():
+    cfg, pot = _hd_cfg(n=64, phi=0.40)
+    from mcjax.parallel import ensemble
+
+    states = ensemble.init_ensemble(
+        cfg, 3, positions=cells.stratified_positions(cfg,
+                                                     min_separation=1.0))
+    states, ms = ecmc.run_ecmc_ensemble(cfg, pot, states, jax.random.key(7),
+                                        50, float(cfg.box_length / 2.0))
+    assert ms.lifts.shape == (3,)
+    occ = np.asarray(states.occ)
+    assert (occ.reshape(3, -1).sum(1) == cfg.n_atoms).all()
+    # replicas decorrelate (different keys -> different chains)
+    p0 = np.asarray(states.pos[0])
+    p1 = np.asarray(states.pos[1])
+    assert not np.array_equal(p0, p1)
+
+
+def test_ecmc_rejects_energetic_models():
+    import pytest
+    from mcjax.models.potentials import LennardJones
+
+    cfg, _ = _hd_cfg()
+    st = init_state(cfg)
+    with pytest.raises(ValueError):
+        ecmc.run_ecmc(cfg, LennardJones(), st, jax.random.key(0), 1, 1.0)
