@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="record a frame every k chunks")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--ecmc", type=int, default=0, metavar="K",
+                   help="interleave K rejection-free event chains per chunk "
+                        "(hard disks/spheres; reports the lift-excess "
+                        "pressure estimate beta*P/rho at the end)")
+    p.add_argument("--chain-length", type=float, default=None,
+                   help="ECMC displacement budget per chain (default L/2)")
     p.add_argument("--clusters", type=int, default=0, metavar="K",
                    help="geometric cluster moves per chunk (Dress-Krauth "
                         "hard-core GCA / Liu-Luijten energetic bonds; "
@@ -331,6 +337,10 @@ def main(argv=None) -> int:
         chunks.append(args.sweeps % args.chunk)
     t_start = time.perf_counter()
     proposed = accepted = 0
+    ecmc_excess = ecmc_length = 0.0
+    if args.ecmc and (pot.has_energy or getattr(pot, "is_mixture", False)):
+        raise SystemExit("--ecmc needs a pure hard-core single-species "
+                         "model (--model hard)")
     for c, chunk in enumerate(chunks):
         state, m = runner(cfg, pot, state, chunk)
         # per-sweep metrics are int32 on device; sum in 64-bit (a 50-sweep
@@ -346,6 +356,16 @@ def main(argv=None) -> int:
             for i in range(args.trace_every - 1, chunk, args.trace_every):
                 print(f"{s0 + i + 1}: {trace[i]:.6f}")
         e += float(np.sum(de_per_sweep))
+        if args.ecmc:
+            import jax as _jax
+
+            from mcjax.ops.ecmc import run_ecmc
+            ek = _jax.random.fold_in(state.key, 0xEC3C + int(state.sweep))
+            ell = args.chain_length or cfg.box_length / 2.0
+            state, em = run_ecmc(cfg, pot, state, ek, args.ecmc, float(ell),
+                                 axis0=c % cfg.dim)
+            ecmc_excess += float(em.excess)
+            ecmc_length += float(em.total_length)
         if args.clusters:
             import jax as _jax
 
@@ -431,6 +451,9 @@ def main(argv=None) -> int:
                                                     state.occ, args.sk)
         for kk, ss in zip(ks, s):
             print(f"sk {kk:.4f} {ss:.4f}")
+    if args.ecmc and ecmc_length > 0:
+        z = 1.0 + ecmc_excess / ecmc_length
+        print(f"ecmc Z {z:.6f}")
     acc = accepted / max(proposed, 1)
     rate = proposed / dt
     print(f"# {int(state.sweep)} sweeps; acceptance {acc:.3f}; "

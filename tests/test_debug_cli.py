@@ -252,3 +252,20 @@ def test_cli_structure_factor(tmp_path):
     ks = np.array([float(l.split()[1]) for l in sk])
     ss = np.array([float(l.split()[2]) for l in sk])
     assert (ks <= 8.0 + 1e-6).all() and (ss >= 0).all()
+
+
+def test_cli_ecmc_chains(tmp_path):
+    """--ecmc interleaves event chains and reports the lift-excess EOS."""
+    out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "96",
+                  "--phi", "0.40", "--n-moves", "2", "--beta", "1.0",
+                  "--sigma", "0.15", "--sweeps", "20", "--chunk", "10",
+                  "--ecmc", "50", "--quiet")
+    assert out.returncode == 0, out.stderr[-2000:]
+    z_lines = [l for l in out.stdout.splitlines() if l.startswith("ecmc Z")]
+    assert len(z_lines) == 1
+    z = float(z_lines[0].split()[2])
+    assert 1.5 < z < 4.0  # phi=0.4 hard disks: Z ~ 2.8
+    # energetic models refuse cleanly
+    out2 = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "64",
+                   "--phi", "0.3", "--sweeps", "2", "--ecmc", "5")
+    assert out2.returncode != 0
