@@ -253,6 +253,57 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
           f"tile_rows {tile_rows}", file=sys.stderr)
 
 
+def bench_ecmc(n_atoms: int, replicas: int, chains: int,
+               phi: float = 0.5) -> None:
+    """Replica-vmapped event-chain MC on hard disks: R independent systems
+    run whole chain schedules in lockstep, each event a masked 3^dim-ring
+    sweep (mcjax.ops.ecmc). Metric: lift events/s/chip — every lift is an
+    accepted collision-to-collision particle displacement, the
+    rejection-free analogue of an accepted trial move (the reference has no
+    rejection-free moves at all)."""
+    from mcjax.core.config import SimConfig
+    from mcjax.models.potentials import HardSphere
+    from mcjax.ops.cells import stratified_positions
+    from mcjax.ops.ecmc import pressure_from_metrics, run_ecmc_ensemble
+    from mcjax.parallel import ensemble
+
+    box = math.sqrt(n_atoms * math.pi / 4.0 / phi)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n_atoms, box_length=box,
+                    cells_per_side=cps, nmax=8, n_moves=1,
+                    proposal="uniform", step_size=0.15, beta=1.0, seed=0)
+    pot = HardSphere(1.0)
+    states = ensemble.init_ensemble(
+        cfg, replicas, positions=stratified_positions(cfg,
+                                                      min_separation=1.0))
+    ell = float(cfg.box_length / 2.0)
+
+    states, m = run_ecmc_ensemble(cfg, pot, states, jax.random.key(1),
+                                  chains, ell)          # warmup + anneal
+    _ = float(jnp.sum(m.excess)) + float(jnp.max(states.pos))
+    t0 = time.perf_counter()
+    states, m = run_ecmc_ensemble(cfg, pot, states, jax.random.key(2),
+                                  chains, ell)
+    _ = float(jnp.sum(m.excess)) + float(jnp.max(states.pos))
+    dt = time.perf_counter() - t0
+
+    import numpy as np
+    lifts = int(np.sum(np.asarray(m.lifts, np.int64)))
+    events = int(np.sum(np.asarray(m.events, np.int64)))
+    z = float(pressure_from_metrics(m))
+    print(json.dumps({
+        "metric": "ECMC lift events/s/chip (%d replicas x %d hard disks, "
+                  "phi=%.2f)" % (replicas, n_atoms, phi),
+        "value": lifts / dt,
+        "unit": "lifts/s",
+        "vs_baseline": (lifts / dt) / REFERENCE_MOVES_PER_S,
+    }))
+    print(f"# {replicas}x{chains} chains (ell={ell:.1f}) in {dt:.3f}s; "
+          f"{events} events; Z estimate {z:.4f}; capped "
+          f"{int(np.sum(np.asarray(m.capped)))}", file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_048_576)
@@ -274,8 +325,12 @@ def main() -> None:
     ap.add_argument("--engine", choices=["auto", "xla", "pallas"],
                     default="auto")
     ap.add_argument("--workload", choices=["hard-disk", "reference-lj",
-                                           "lj3d", "ka3d"],
+                                           "lj3d", "ka3d", "ecmc"],
                     default="hard-disk")
+    ap.add_argument("--replicas", type=int, default=256,
+                    help="ecmc workload: vmapped replica count")
+    ap.add_argument("--chains", type=int, default=64,
+                    help="ecmc workload: event chains per replica per call")
     ap.add_argument("--tile-rows", type=int, default=0)
     ap.add_argument("--neighbor-unroll", type=int, default=2)
     ap.add_argument("--slot-group", type=int, default=None,
@@ -311,6 +366,10 @@ def main() -> None:
     if args.fused is None:
         args.fused = args.workload == "hard-disk"
 
+    if args.workload == "ecmc":
+        n = args.n if args.n != 1_048_576 else 4096
+        bench_ecmc(n, args.replicas, args.chains, min(args.phi, 0.6))
+        return
     if args.workload == "lj3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
