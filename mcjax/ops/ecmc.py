@@ -82,21 +82,32 @@ def run_ecmc(cfg: SimConfig, pot: Potential, state: SimState,
     ``chain_length`` (axes alternate per chain, starting at ``axis0``;
     start particles uniform).
 
-    ``pot`` must be a pure hard-core single-species model (HardSphere).
-    ``max_events`` bounds a single chain's event count (a safety net
+    ``pot`` must be a pure hard-core model: HardSphere, or a
+    HardSphereMixture with any per-pair contact table (the species plane
+    rides the flat slab view; additivity is not required — the lifting
+    argument is pairwise). ``max_events`` bounds a single chain's event
+    count (a safety net
     against fp-degenerate zero-advance cycles; capped chains are counted
     in metrics and should be 0 in healthy runs).
     """
-    if not pot.has_hard_core or getattr(pot, "has_energy", False) or \
-            getattr(pot, "is_mixture", False):
-        raise ValueError("run_ecmc supports pure hard-core single-species "
-                         "models (HardSphere)")
+    if not pot.has_hard_core or getattr(pot, "has_energy", False):
+        raise ValueError("run_ecmc supports pure hard-core models "
+                         "(HardSphere / HardSphereMixture)")
+    mixture = getattr(pot, "is_mixture", False)
     dim, nmax, cps = cfg.dim, cfg.nmax, cfg.cells_per_side
     L, w = cfg.box_length, cfg.cell_width
-    sigma = float(pot.diameter)
-    sigma2 = jnp.float32(sigma * sigma)
-    if sigma > w + 1e-9:
-        raise ValueError("cell width must cover the contact distance")
+    if mixture:
+        # per-pair contact table (any pairwise hard-core table is valid:
+        # the lifting argument is pairwise, additivity is not required)
+        d_table = jnp.asarray(pot.diameter, jnp.float32)
+        sig2_table = d_table * d_table                   # [S, S]
+        sigma_max = float(max(max(row) for row in pot.diameter))
+    else:
+        sigma_max = float(pot.diameter)
+        sigma2_const = jnp.float32(sigma_max * sigma_max)
+    if sigma_max > w + 1e-9:
+        raise ValueError("cell width must cover the largest contact "
+                         "distance")
 
     fp, fo = _flat_view(cfg, state.pos, state.occ)
     offs = jnp.asarray(cells.neighbor_offsets(dim, include_center=True),
@@ -113,12 +124,18 @@ def run_ecmc(cfg: SimConfig, pot: Potential, state: SimState,
 
         ring_c = jnp.mod(c[None] + offs, cps)                   # [K, dim]
         ring_ids = cells._flat_slot(cfg, ring_c)                # [K]
-        cand = fp[ring_ids]                                     # [K, dim, nmax]
+        cand = fp[ring_ids]                                     # [K, planes, nmax]
         counts = fo[ring_ids]                                   # [K]
-        d = cand - r[None, :, None]
+        d = cand[:, :dim] - r[None, :dim, None]
         d = d - L * jnp.round(d * jnp.float32(1.0 / L))         # min image
         d_a = d[:, axis]                                        # [K, nmax]
         d2 = jnp.sum(d * d, axis=1)
+        if mixture:
+            si = r[dim].astype(jnp.int32)
+            sj = cand[:, dim].astype(jnp.int32)                 # [K, nmax]
+            sigma2 = sig2_table[si, sj]
+        else:
+            sigma2 = sigma2_const
         disc = sigma2 - (d2 - d_a * d_a)
         valid = slot_ar[None] < counts[:, None]
         hit = valid & (disc > 0.0) & (d_a > 0.0)

@@ -45,20 +45,23 @@ class GCMetrics(NamedTuple):
 
 
 def _flat_view(cfg: SimConfig, pos: jax.Array, occ: jax.Array):
-    """[n_cells, dim, nmax] / [n_cells] flat slab view (color-major, then
-    row-major blocks — the layout cells._flat_slot indexes)."""
-    dim, nmax = cfg.dim, cfg.nmax
+    """[n_cells, n_planes, nmax] / [n_cells] flat slab view (color-major,
+    then row-major blocks — the layout cells._flat_slot indexes). Attribute
+    planes beyond ``dim`` (mixture species ids) ride along."""
+    nmax = cfg.nmax
+    n_planes = pos.shape[1]
     n_cells = cfg.n_colors * cfg.cells_per_color
-    fp = jnp.moveaxis(pos.reshape(cfg.n_colors, dim, nmax, -1),
-                      -1, 1).reshape(n_cells, dim, nmax)
+    fp = jnp.moveaxis(pos.reshape(cfg.n_colors, n_planes, nmax, -1),
+                      -1, 1).reshape(n_cells, n_planes, nmax)
     fo = occ.reshape(-1)
     return fp, fo
 
 
 def _unflat(cfg: SimConfig, fp: jax.Array, fo: jax.Array,
             pos_shape, occ_shape):
-    dim, nmax = cfg.dim, cfg.nmax
-    p = jnp.moveaxis(fp.reshape(cfg.n_colors, -1, dim, nmax), 1, -1)
+    nmax = cfg.nmax
+    n_planes = fp.shape[1]
+    p = jnp.moveaxis(fp.reshape(cfg.n_colors, -1, n_planes, nmax), 1, -1)
     return p.reshape(pos_shape), fo.reshape(occ_shape)
 
 

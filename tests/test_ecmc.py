@@ -173,3 +173,128 @@ def test_ecmc_rejects_energetic_models():
     st = init_state(cfg)
     with pytest.raises(ValueError):
         ecmc.run_ecmc(cfg, LennardJones(), st, jax.random.key(0), 1, 1.0)
+
+
+def test_ecmc_3d_pressure_matches_carnahan_starling():
+    """The event loop is dim-generic: 3D hard spheres reproduce the
+    Carnahan-Starling EOS from the same lift-excess estimator."""
+    from mcjax.utils.observables import carnahan_starling_z
+
+    n, phi = 500, 0.30
+    box = (n * math.pi / 6.0 / phi) ** (1.0 / 3.0)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=3, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=18, n_moves=2, proposal="uniform", step_size=0.15,
+                    beta=1.0, seed=2)
+    pot = HardSphere(1.0)
+    st = init_state(cfg, positions=cells.stratified_positions(
+        cfg, min_separation=1.0))
+    st, _ = run_sweeps(cfg, pot, st, 80)
+    st, m = ecmc.run_ecmc(cfg, pot, st, jax.random.key(9), 1500,
+                          float(cfg.box_length / 2.0))
+    z_est = float(ecmc.pressure_from_metrics(m))
+    z_ref = carnahan_starling_z(phi)
+    assert int(m.capped) == 0 and not bool(st.overflow)
+    assert int(jnp.sum(st.occ)) == n
+    assert abs(z_est - z_ref) / z_ref < 0.05, (z_est, z_ref)
+    from mcjax.models.reference import total_energy
+    r = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+    _, ov = total_energy(pot, r, cfg.box_length)
+    assert not bool(ov)
+
+
+def _oracle_chain_mix(coords, species, start, axis, ell, L, dmat):
+    """Oracle with a per-pair contact table (non-additive allowed)."""
+    x = coords.astype(np.float64).copy()
+    act = start
+    budget = float(ell)
+    excess = 0.0
+    lifts = 0
+    while budget > 1e-14:
+        d = _min_image(x - x[act], L)
+        d_a = d[:, axis]
+        d_perp2 = (d ** 2).sum(1) - d_a ** 2
+        sig = dmat[species[act], species]
+        disc = sig * sig - d_perp2
+        hit = (disc > 0) & (d_a > 0)
+        hit[act] = False
+        t = np.where(hit, d_a - np.sqrt(np.maximum(disc, 0.0)), np.inf)
+        t = np.maximum(t, 0.0)
+        j = int(np.argmin(t))
+        if t[j] < budget:
+            x[act, axis] += t[j]
+            budget -= t[j]
+            excess += math.sqrt(max(disc[j], 0.0))
+            lifts += 1
+            act = j
+        else:
+            x[act, axis] += budget
+            budget = 0.0
+        x[act, axis] = (x[act, axis] + L / 2.0) % L - L / 2.0
+    return x, excess, lifts
+
+
+def test_ecmc_mixture_matches_oracle_and_conserves_species():
+    """Binary (non-additive) hard-disk mixture: per-pair contact lifts match
+    the oracle exactly; species ride the face-crossing bookkeeping."""
+    from mcjax.models.mixtures import HardSphereMixture
+    from mcjax.ops.mixture import init_mixture_state
+
+    n = 80
+    dmat_t = ((1.0, 0.9), (0.9, 0.7))   # non-additive cross term
+    pot = HardSphereMixture(diameter=dmat_t)
+    phi_eff = 0.35
+    box = math.sqrt(n * math.pi / 4.0 / phi_eff)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=2, proposal="uniform", step_size=0.12,
+                    beta=1.0, seed=5)
+    spec = (jnp.arange(n) % 2).astype(jnp.int32)
+    st = init_mixture_state(
+        cfg, cells.stratified_positions(cfg, min_separation=1.0), spec)
+    from mcjax.ops.mixture import run_sweeps_mixture
+    st, _ = run_sweeps_mixture(cfg, pot, st, 40)
+    L = cfg.box_length
+    dmat = np.asarray(dmat_t)
+    key = jax.random.key(21)
+
+    for chain in range(4):
+        axis = chain % 2
+        fp, fo = (np.asarray(a) for a in _flat_view(cfg, st.pos, st.occ))
+        k = jax.random.fold_in(key, 0)
+        n_tot = int(fo.sum())
+        j = min(int(float(jax.random.uniform(k)) * n_tot), n_tot - 1)
+        cum = np.cumsum(fo)
+        cell0 = int(np.searchsorted(cum, j, side="right"))
+        slot0 = j - (cum[cell0 - 1] if cell0 > 0 else 0)
+        r0 = fp[cell0, :2, slot0]
+
+        flat = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+        before, sp = flat[:, :2], flat[:, 2].round().astype(int)
+        start = int(np.argmin(((before - r0) ** 2).sum(1)))
+        expect, exc_o, lifts_o = _oracle_chain_mix(before, sp, start, axis,
+                                                   L / 2.0, L, dmat)
+
+        st, m = ecmc.run_ecmc(cfg, pot, st, key, 1, float(L / 2.0),
+                              axis0=axis)
+        key = jax.random.fold_in(key, 2000 + chain)
+        flat2 = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+        after = flat2[:, :2]
+        d = _min_image(after[:, None, :] - expect[None, :, :], L)
+        nn = np.sqrt((d ** 2).sum(-1)).min(1)
+        assert nn.max() < 1e-3, (chain, nn.max())
+        assert int(m.lifts) == lifts_o
+        np.testing.assert_allclose(float(m.excess), exc_o, rtol=1e-4,
+                                   atol=1e-4)
+        # species conserved through lifts and face crossings
+        assert int(flat2[:, 2].round().sum()) == int(sp.sum())
+
+    # final state respects every per-pair contact distance
+    flat = np.asarray(cells.unbin(cfg, st.pos, st.occ))
+    coords, sp = flat[:, :2], flat[:, 2].round().astype(int)
+    d = _min_image(coords[None] - coords[:, None], L)
+    r = np.sqrt((d ** 2).sum(-1))
+    np.fill_diagonal(r, np.inf)
+    assert (r >= dmat[sp[:, None], sp[None]] - 1e-5).all()
