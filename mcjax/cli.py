@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gc-attempts", type=int, default=1, metavar="R",
                    help="GC phase repeats per sweep (each phase attempts "
                         "one insert-or-delete in EVERY cell)")
+    p.add_argument("--delta-mu", type=str, default=None,
+                   metavar="BMU0,BMU1[,..]",
+                   help="semi-grand ensemble (mixture models only): "
+                        "beta*mu per species; identity-flip phases between "
+                        "sweeps at fixed N (Kofke-Glandt)")
+    p.add_argument("--flip-phases", type=int, default=1, metavar="R",
+                   help="semi-grand flip phases per sweep (default 1)")
     p.add_argument("--sk", type=float, default=None, metavar="KMAX",
                    help="print the radially averaged structure factor "
                         "S(|k|) up to KMAX at the end of the run")
@@ -290,6 +297,8 @@ def main(argv=None) -> int:
         return npt_main(args, cfg, pot, state)
     if args.activity is not None:
         return gcmc_main(args, cfg, pot, state)
+    if args.delta_mu is not None:
+        return semigrand_main(args, cfg, pot, state)
 
     engine = args.engine
     if engine == "auto":
@@ -544,6 +553,49 @@ def gcmc_main(args, cfg, pot, state) -> int:
     if cap:
         print("# WARNING: capacity rejects > 0 — raise --nmax for unbiased "
               "muVT sampling", file=sys.stderr)
+    return 0
+
+
+def semigrand_main(args, cfg, pot, state) -> int:
+    """Semi-grand driver branch: species-identity flip phases between
+    mixture displacement sweeps at fixed N (mcjax.ops.semigrand; the
+    reference has neither mixtures nor any composition ensemble,
+    kernel.cu:17-29)."""
+    import jax.numpy as jnp
+
+    from mcjax.ops import semigrand as sg_mod
+    from mcjax.utils import io
+
+    if not getattr(pot, "is_mixture", False):
+        raise SystemExit("--delta-mu needs a mixture model "
+                         "(--model ka or --mixture-json)")
+    beta_mu = tuple(float(x) for x in args.delta_mu.split(","))
+    if len(beta_mu) != pot.n_species:
+        raise SystemExit(f"--delta-mu needs {pot.n_species} comma-separated "
+                         f"values for {pot!r} (got {len(beta_mu)})")
+    chunks = [args.chunk] * (args.sweeps // args.chunk)
+    if args.sweeps % args.chunk:
+        chunks.append(args.sweeps % args.chunk)
+    t0 = time.perf_counter()
+    flips = tries = 0
+    count_hist = []
+    for chunk in chunks:
+        state, m = sg_mod.run_semigrand(cfg, pot, state, beta_mu, chunk,
+                                        args.flip_phases)
+        flips += int(jnp.sum(m.flipped))
+        tries += int(jnp.sum(m.attempted))
+        count_hist.append(np.asarray(m.counts, np.int64))
+        if not args.quiet:
+            comp = " ".join(str(int(c)) for c in m.counts[-1])
+            print(f"{int(state.sweep)}: N_s {comp}")
+        if args.checkpoint:
+            io.save_checkpoint(args.checkpoint, cfg, state, pot)
+    dt = time.perf_counter() - t0
+    mean_frac = np.concatenate(count_hist).mean(0) / cfg.n_atoms
+    fr = " ".join(f"{f:.4f}" for f in mean_frac)
+    print(f"# semi-grand {int(state.sweep)} sweeps at beta*mu="
+          f"{args.delta_mu}; <x_s> {fr}; flips {flips}/{tries}; "
+          f"overflow {bool(state.overflow)}; {dt:.1f}s", file=sys.stderr)
     return 0
 
 

@@ -1,3 +1,3 @@
-from mcjax.ops import cells, cluster, ecmc, pallas_sweep, sweep
+from mcjax.ops import cells, cluster, ecmc, pallas_sweep, semigrand, sweep
 
-__all__ = ["cells", "cluster", "ecmc", "pallas_sweep", "sweep"]
+__all__ = ["cells", "cluster", "ecmc", "pallas_sweep", "semigrand", "sweep"]

@@ -226,6 +226,32 @@ def test_cli_cluster_moves(tmp_path):
     assert lines[-1].startswith("4:")
 
 
+def test_cli_semigrand_delta_mu(tmp_path):
+    """--delta-mu routes to the semi-grand driver: composition trace prints,
+    summary reports mean fractions + flip counts, checkpoint written; a
+    non-mixture model is a clean error."""
+    mixfile = tmp_path / "mix.json"
+    mixfile.write_text(json.dumps({
+        "epsilon": [[0.2, 0.2], [0.2, 0.2]],
+        "sigma": [[1.0, 1.0], [1.0, 1.0]],
+        "r_cut": [[2.5, 2.5], [2.5, 2.5]]}))
+    ck = str(tmp_path / "sg.npz")
+    out = run_cli("--mixture-json", str(mixfile), "--dim", "2",
+                  "--n-atoms", "96", "--rho", "0.6", "--n-moves", "2",
+                  "--beta", "0.5", "--sigma", "0.15", "--frac-b", "0.5",
+                  "--delta-mu", "0,1.0", "--sweeps", "20", "--chunk", "10")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if "N_s" in l]
+    assert len(lines) == 2
+    assert "semi-grand" in out.stderr and "<x_s>" in out.stderr
+    # composition responded to the bias toward species B
+    nb = int(lines[-1].split()[-1])
+    assert nb > 48
+    out2 = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "96",
+                   "--rho", "0.6", "--sweeps", "2", "--delta-mu", "0,1.0")
+    assert out2.returncode != 0 and "mixture" in out2.stderr
+
+
 def test_cli_gcmc_activity(tmp_path):
     """--activity routes to the checkerboard muVT driver; N trace prints and
     the summary reports insert/delete counts."""
