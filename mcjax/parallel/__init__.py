@@ -1,3 +1,3 @@
-from mcjax.parallel import cluster, ensemble, gcmc, mesh, npt
+from mcjax.parallel import cluster, ensemble, gcmc, mesh, npt, semigrand
 
-__all__ = ["cluster", "ensemble", "gcmc", "mesh", "npt"]
+__all__ = ["cluster", "ensemble", "gcmc", "mesh", "npt", "semigrand"]

@@ -225,3 +225,35 @@ def test_sharded_mixture_lj_energy_anchored():
     e_traced = float(e0) + float(jnp.sum(met.delta_e))
     assert abs(e_traced - float(e_exact)) < 1e-2 * max(1.0, abs(float(e_exact)))
     assert int(st2.occ.sum()) == cfg.n_atoms
+
+
+def test_sharded_semigrand_ideal_composition():
+    """Semi-grand flips under shard_map on a 2x2 mesh: the ideal-mixture
+    composition target is exact, N and totals conserved, no overflow."""
+    from mcjax.models.mixtures import LJMixture
+    from mcjax.ops.mixture import init_mixture_state
+    from mcjax.parallel.semigrand import make_sharded_run_semigrand
+
+    n = 256
+    pot = LJMixture(epsilon=((0.0, 0.0), (0.0, 0.0)),
+                    sigma=((1.0, 1.0), (1.0, 1.0)),
+                    r_cut_table=((2.5, 2.5), (2.5, 2.5)))
+    # ideal gas: occupancy ~ Poisson(4) per cell -> nmax=16 headroom
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=24.0, cells_per_side=8,
+                    nmax=16, n_moves=2, proposal="gaussian", step_size=0.5,
+                    beta=1.0, seed=1)
+    spec0 = jnp.zeros(n, jnp.int32)
+    st = init_mixture_state(cfg, cells.stratified_positions(cfg), spec0)
+    m = make_mesh((2, 2), ("y", "x"))
+    beta_mu = (0.0, math.log(3.0))            # P(B) = 3/4 exactly
+    burn = make_sharded_run_semigrand(cfg, pot, m, ("y", "x"), beta_mu, 30)
+    meas = make_sharded_run_semigrand(cfg, pot, m, ("y", "x"), beta_mu, 90)
+    st_sh = pmesh.shard_state(cfg, st, m, ("y", "x"))
+    st2, _ = burn(st_sh)
+    st3, ms = meas(st2)
+    assert not bool(st3.overflow)
+    counts = np.asarray(ms.counts)
+    assert (counts.sum(1) == n).all()
+    frac = counts[:, 1].astype(np.float64).mean() / n
+    assert abs(frac - 0.75) < 0.035, frac
+    assert int(jnp.sum(ms.flipped)) > 50
