@@ -123,7 +123,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(hard disks/spheres; reports the lift-excess "
                         "pressure estimate beta*P/rho at the end)")
     p.add_argument("--chain-length", type=float, default=None,
-                   help="ECMC displacement budget per chain (default L/2)")
+                   help="ECMC displacement budget per chain (default L/2; "
+                        "with --ecmc-strips, default half the confined "
+                        "strip width)")
+    p.add_argument("--ecmc-strips", type=int, default=0, metavar="M",
+                   help="run --ecmc rounds of M SIMULTANEOUS strip-confined "
+                        "chains in one system (reflective walls + frozen "
+                        "buffer columns; cells-per-side must divide by M "
+                        "with >= 2 columns each). Sampling only: the "
+                        "lift-excess Z is wall-biased and not reported")
     p.add_argument("--clusters", type=int, default=0, metavar="K",
                    help="geometric cluster moves per chunk (Dress-Krauth "
                         "hard-core GCA / Liu-Luijten energetic bonds; "
@@ -347,9 +355,9 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     proposed = accepted = 0
     ecmc_excess = ecmc_length = 0.0
-    if args.ecmc and (pot.has_energy or getattr(pot, "is_mixture", False)):
-        raise SystemExit("--ecmc needs a pure hard-core single-species "
-                         "model (--model hard)")
+    if args.ecmc and pot.has_energy:
+        raise SystemExit("--ecmc needs a pure hard-core model "
+                         "(--model hard or a hard-sphere mixture)")
     for c, chunk in enumerate(chunks):
         state, m = runner(cfg, pot, state, chunk)
         # per-sweep metrics are int32 on device; sum in 64-bit (a 50-sweep
@@ -368,13 +376,21 @@ def main(argv=None) -> int:
         if args.ecmc:
             import jax as _jax
 
-            from mcjax.ops.ecmc import run_ecmc
             ek = _jax.random.fold_in(state.key, 0xEC3C + int(state.sweep))
-            ell = args.chain_length or cfg.box_length / 2.0
-            state, em = run_ecmc(cfg, pot, state, ek, args.ecmc, float(ell),
-                                 axis0=c % cfg.dim)
-            ecmc_excess += float(em.excess)
-            ecmc_length += float(em.total_length)
+            if args.ecmc_strips:
+                from mcjax.ops.ecmc import run_ecmc_parallel
+                g = cfg.cells_per_side // max(args.ecmc_strips, 1)
+                ell = args.chain_length or (g - 1) * cfg.cell_width / 2.0
+                state, em = run_ecmc_parallel(
+                    cfg, pot, state, ek, args.ecmc, float(ell),
+                    n_strips=args.ecmc_strips, axis0=c % cfg.dim)
+            else:
+                from mcjax.ops.ecmc import run_ecmc
+                ell = args.chain_length or cfg.box_length / 2.0
+                state, em = run_ecmc(cfg, pot, state, ek, args.ecmc,
+                                     float(ell), axis0=c % cfg.dim)
+                ecmc_excess += float(em.excess)
+                ecmc_length += float(em.total_length)
         if args.clusters:
             import jax as _jax
 

@@ -252,3 +252,268 @@ def run_ecmc_ensemble(cfg: SimConfig, pot: Potential, states: SimState,
     return jax.vmap(
         lambda st, k: run_ecmc(cfg, pot, st, k, n_chains, chain_length,
                                axis0, max_events))(states, keys)
+
+
+class ECMCParMetrics(NamedTuple):
+    excess: jax.Array        # contact excess from lifts (confined targets)
+    lifts: jax.Array         # lift events (active particle transferred)
+    reflections: jax.Array   # wall + frozen-obstacle direction reversals
+    events: jax.Array        # lockstep event-loop iterations
+    total_length: jax.Array  # displacement budget actually spent
+    chains: jax.Array        # chains started (strips with particles)
+    capped: jax.Array        # chains terminated by the event cap (want 0)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 6, 7, 8))
+def run_ecmc_parallel(cfg: SimConfig, pot: Potential, state: SimState,
+                      key: jax.Array, n_rounds: int, chain_length: float,
+                      n_strips: int, axis0: int = 0,
+                      max_events: int = 200_000
+                      ) -> tuple[SimState, ECMCParMetrics]:
+    """Many simultaneous event chains in ONE system: strip-confined
+    reflective ECMC.
+
+    Conflict rule (the provably correct one ROADMAP flagged as open):
+    partition the ``cps`` cell columns along the chain axis, at a random
+    per-round offset, into ``n_strips`` strips of G = cps/n_strips columns;
+    the first G-1 columns of each strip are the CONFINED region, the last
+    column is a frozen BUFFER no chain ever writes.  One chain runs per
+    strip, all in lockstep:
+
+      * start particle uniform over the strip's confined particles, start
+        direction +/- the round axis with probability 1/2;
+      * hard contact with a CONFINED particle lifts normally (that particle
+        becomes active, same direction);
+      * hard contact with a FROZEN (buffer) particle, or reaching a strip
+        wall, REFLECTS the active particle's direction;
+      * the chain ends when its displacement budget is spent.
+
+    Why it is exact: for fixed (start particle, direction, budget) the
+    confined chain is a deterministic, invertible, volume-preserving flow
+    on the lifted space (configurations x active x direction) — piecewise
+    single-particle translations, with lifts at contact surfaces and
+    direction involutions at walls/obstacles, all measure-preserving and
+    time-reversible.  Sampling the start lift uniformly (particle AND
+    direction) then projecting makes the round kernel preserve the
+    hard-core measure with everything outside the walls frozen — the same
+    frozen-environment factorization the checkerboard sweep uses
+    (kernel.cu:236-239 analogue), so the n_strips simultaneous chains
+    commute: writes stay strictly inside each strip's walls and reads reach
+    at most sigma_max <= w into the buffer, never into a neighbor's
+    confined region.  Random per-round strip offsets + axis alternation
+    restore ergodicity across walls.
+
+    Note the +/--direction start is REQUIRED for exactness here (unlike
+    wall-free BKW chains): with walls, +x-only chains do not balance.
+
+    The Michel lift-excess pressure estimator is NOT exact under walls
+    (reflections carry momentum the estimator cannot see): use
+    ``run_ecmc`` for pressure, or configurational estimators
+    (``hard_disk_eos``) on states sampled by this runner.  Keep
+    ``chain_length`` of order the confined width (G-1)*w to bound the
+    reflection rate.
+    """
+    if not pot.has_hard_core or getattr(pot, "has_energy", False):
+        raise ValueError("run_ecmc_parallel supports pure hard-core models")
+    mixture = getattr(pot, "is_mixture", False)
+    dim, nmax, cps = cfg.dim, cfg.nmax, cfg.cells_per_side
+    L, w = cfg.box_length, cfg.cell_width
+    M = n_strips
+    if cps % M != 0:
+        raise ValueError(f"cells_per_side {cps} not divisible by "
+                         f"n_strips {M}")
+    G = cps // M
+    if G < 2:
+        raise ValueError("each strip needs >= 2 cell columns "
+                         "(>= 1 confined + 1 frozen buffer)")
+    if mixture:
+        d_table = jnp.asarray(pot.diameter, jnp.float32)
+        sig2_table = d_table * d_table
+        sigma_max = float(max(max(row) for row in pot.diameter))
+    else:
+        sigma_max = float(pot.diameter)
+        sigma2_const = jnp.float32(sigma_max * sigma_max)
+    if sigma_max > w + 1e-9:
+        raise ValueError("cell width must cover the largest contact "
+                         "distance")
+
+    fp0, fo0 = _flat_view(cfg, state.pos, state.occ)
+    n_cells = fp0.shape[0]
+    cpc_col = n_cells // cps          # cells per column (slab of the axis)
+    offs = jnp.asarray(cells.neighbor_offsets(dim, include_center=True),
+                       jnp.int32)                                # [K, dim]
+    slot_ar = jnp.arange(nmax, dtype=jnp.int32)
+    all_cols = _decode_cell(cfg, jnp.arange(n_cells, dtype=jnp.int32))
+    # [dim, n_cells]
+    strip_starts = jnp.arange(M, dtype=jnp.int32) * (G * cpc_col)
+    m_ar = jnp.arange(M, dtype=jnp.int32)
+    ends = (m_ar + 1) * (G * cpc_col) - 1
+
+    def round_body(carry, i):
+        fp, fo, ovf = carry
+        kr = jax.random.fold_in(key, i)
+        k_off, k_pick, k_dir = jax.random.split(kr, 3)
+        axis = (axis0 + i) % dim
+        o = jax.random.randint(k_off, (), 0, cps, dtype=jnp.int32)
+
+        # ---- per-strip start picks: order cells by shifted column, strips
+        # are then contiguous with the buffer column last in each ----------
+        col_all = jnp.take(all_cols, axis, axis=0)           # [n_cells]
+        skey = (col_all - o) % cps
+        perm = jnp.argsort(skey, stable=True)                # [n_cells]
+        within = jnp.arange(n_cells, dtype=jnp.int32) % (G * cpc_col)
+        confined_ord = within < (G - 1) * cpc_col
+        occ_ord = jnp.where(confined_ord, fo[perm], 0)
+        cum = jnp.cumsum(occ_ord)                            # [n_cells]
+        base = jnp.where(strip_starts > 0, cum[strip_starts - 1], 0)
+        count = cum[ends] - base                             # [M]
+        u = jax.random.uniform(k_pick, (M,))
+        j = base + jnp.minimum(
+            jnp.floor(u * count.astype(jnp.float32)).astype(jnp.int32),
+            jnp.maximum(count - 1, 0))
+        idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        idx = jnp.minimum(idx, n_cells - 1)
+        cell0 = perm[idx]
+        slot0 = j - jnp.where(idx > 0, cum[idx - 1], 0)
+        dirs0 = jnp.where(jax.random.uniform(k_dir, (M,)) < 0.5, 1.0, -1.0
+                          ).astype(jnp.float32)
+        budget0 = jnp.where(count > 0, jnp.float32(chain_length), 0.0)
+
+        def cond(c):
+            return jnp.any(c[5] > 0.0) & (c[8] < max_events)
+
+        def event(c):
+            fp, fo, cell, slot, dirs, budget, excess, lifts, it, refl, ovf \
+                = c
+            active = budget > 0.0
+            r = fp[cell, :, slot]                            # [M, planes]
+            cc = _decode_cell(cfg, cell)                     # [dim, M]
+            col = jnp.take(cc, axis, axis=0)                 # [M]
+            q = ((col - o) % cps) % G
+            lb = col.astype(jnp.float32) * w - L / 2.0
+            r_a = jnp.take(r, axis, axis=1)                  # [M]
+            t_face = jnp.maximum(
+                jnp.where(dirs > 0, lb + w - r_a, r_a - lb), 0.0)
+            at_wall = jnp.where(dirs > 0, q == G - 2, q == 0)
+
+            ring_c = (cc.T[:, None, :] + offs[None]) % cps   # [M, K, dim]
+            ring_ids = cells._flat_slot(
+                cfg, ring_c.reshape(-1, dim)).reshape(M, -1)  # [M, K]
+            cand = fp[ring_ids]                        # [M, K, planes, nmax]
+            cnts = fo[ring_ids]                              # [M, K]
+            d = cand[:, :, :dim] - r[:, None, :dim, None]    # [M,K,dim,nmax]
+            d = d - L * jnp.round(d * jnp.float32(1.0 / L))
+            d_a = jnp.take(d, axis, axis=2)                  # [M, K, nmax]
+            s_a = d_a * dirs[:, None, None]
+            d2 = jnp.sum(d * d, axis=2)
+            if mixture:
+                si = jnp.take(r, dim, axis=1).astype(jnp.int32)     # [M]
+                sj = cand[:, :, dim].astype(jnp.int32)       # [M, K, nmax]
+                sigma2 = sig2_table[si[:, None, None], sj]
+            else:
+                sigma2 = sigma2_const
+            disc = sigma2 - (d2 - d_a * d_a)
+            valid = slot_ar[None, None] < cnts[..., None]
+            hit = valid & (disc > 0.0) & (s_a > 0.0)
+            q_cand = ((col[:, None] + jnp.take(offs, axis, axis=1)[None]
+                       - o) % cps) % G                       # [M, K]
+            frz_cell = (q_cand == G - 1)[..., None]          # [M, K, 1]
+            root = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = jnp.where(hit, jnp.maximum(s_a - root, 0.0), jnp.inf)
+            tl = jnp.where(frz_cell, jnp.inf, t).reshape(M, -1)
+            li = jnp.argmin(tl, axis=1)
+            t_lift = jnp.take_along_axis(tl, li[:, None], 1)[:, 0]
+            tf = jnp.where(frz_cell, t, jnp.inf).reshape(M, -1)
+            fi = jnp.argmin(tf, axis=1)
+            t_frz = jnp.take_along_axis(tf, fi[:, None], 1)[:, 0]
+
+            t_seg = jnp.minimum(budget, t_face)
+            is_lift = active & (t_lift < t_seg) & (t_lift <= t_frz)
+            is_frz = active & ~is_lift & (t_frz < t_seg)
+            is_face = active & ~is_lift & ~is_frz & (t_face <= budget)
+            is_wall = is_face & at_wall
+            is_cross = is_face & ~at_wall
+            is_end = active & ~is_lift & ~is_frz & ~is_face
+
+            t_adv = jnp.where(
+                is_lift, t_lift, jnp.where(
+                    is_frz, t_frz, jnp.where(is_face, t_face, budget)))
+            t_adv = jnp.where(active, t_adv, 0.0)
+
+            # advance every active particle along the axis
+            fp = fp.at[cell, axis, slot].add(dirs * t_adv)
+            r_a2 = r_a + dirs * t_adv
+
+            # wall reflection: snap inside the cell (same convention as the
+            # face-crossing snap-to-lower-bound) and flip direction
+            r_a_wall = jnp.where(dirs > 0,
+                                 jnp.nextafter(lb + w, lb), lb)
+            cell_w = jnp.where(is_wall, cell, n_cells)
+            fp = fp.at[cell_w, axis, slot].set(
+                jnp.where(is_wall, r_a_wall, r_a2), mode="drop")
+            dirs = jnp.where(is_wall | is_frz, -dirs, dirs)
+            refl = refl + jnp.sum((is_wall | is_frz).astype(jnp.int32))
+
+            # lift: candidate becomes active
+            k_star = li // nmax
+            j_star = (li % nmax).astype(jnp.int32)
+            cell_l = jnp.take_along_axis(ring_ids, k_star[:, None], 1)[:, 0]
+            exc_l = jnp.take_along_axis(
+                jnp.where(frz_cell, 0.0, root).reshape(M, -1),
+                li[:, None], 1)[:, 0]
+            excess = excess + jnp.sum(jnp.where(is_lift, exc_l, 0.0))
+            lifts = lifts + jnp.sum(is_lift.astype(jnp.int32))
+
+            # face crossing: two-slab transfer (direction-dependent)
+            col_new = jnp.where(dirs > 0, col + 1, col - 1) % cps
+            dest_lb = col_new.astype(jnp.float32) * w - L / 2.0
+            r_a_x = jnp.where(dirs > 0, dest_lb,
+                              jnp.nextafter(dest_lb + w, dest_lb))
+            cc_new = jnp.where(
+                (jnp.arange(dim) == axis)[:, None], col_new[None], cc)
+            cell2 = cells._flat_slot(cfg, cc_new.T)
+            full = fo[cell2] >= nmax
+            do_x = is_cross & ~full
+            ovf = ovf | jnp.any(is_cross & full)
+            r_move = fp[cell, :, slot]
+            r_move = r_move.at[:, axis].set(
+                jnp.where(do_x, r_a_x, r_move[:, axis]))
+            last = jnp.maximum(fo[cell] - 1, 0)
+            cell_rm = jnp.where(do_x, cell, n_cells)
+            fp = fp.at[cell_rm, :, slot].set(fp[cell, :, last], mode="drop")
+            fo = fo.at[cell_rm].add(-1, mode="drop")
+            s2c = jnp.minimum(fo[cell2], nmax - 1)
+            cell_in = jnp.where(do_x, cell2, n_cells)
+            fp = fp.at[cell_in, :, s2c].set(r_move, mode="drop")
+            fo = fo.at[cell_in].add(1, mode="drop")
+
+            cell = jnp.where(is_lift, cell_l,
+                             jnp.where(do_x, cell2, cell))
+            slot = jnp.where(is_lift, j_star,
+                             jnp.where(do_x, s2c, slot))
+            budget = jnp.where(
+                is_end | (is_cross & full), 0.0,
+                jnp.maximum(budget - t_adv, 0.0))
+            return (fp, fo, cell, slot, dirs, budget, excess, lifts,
+                    it + 1, refl, ovf)
+
+        zf, zi = jnp.float32(0.0), jnp.int32(0)
+        (fp, fo, _, _, _, budget, excess, lifts, it, refl, ovf) = \
+            jax.lax.while_loop(cond, event,
+                               (fp, fo, cell0, slot0, dirs0, budget0,
+                                zf, zi, zi, zi, ovf))
+        capped = jnp.sum((budget > 0.0).astype(jnp.int32))
+        spent = jnp.sum(budget0 - budget)
+        met = ECMCParMetrics(excess=excess, lifts=lifts, reflections=refl,
+                             events=it, total_length=spent,
+                             chains=jnp.sum((count > 0).astype(jnp.int32)),
+                             capped=capped)
+        return (fp, fo, ovf), met
+
+    (fp, fo, ovf), ms = jax.lax.scan(
+        round_body, (fp0, fo0, state.overflow),
+        jnp.arange(n_rounds, dtype=jnp.int32))
+    pos, occ = _unflat(cfg, fp, fo, state.pos.shape, state.occ.shape)
+    new_state = dataclasses.replace(state, pos=pos, occ=occ, overflow=ovf)
+    metrics = ECMCParMetrics(*(jnp.sum(x, axis=0) for x in ms))
+    return new_state, metrics

@@ -295,3 +295,13 @@ def test_cli_ecmc_chains(tmp_path):
     out2 = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "64",
                    "--phi", "0.3", "--sweeps", "2", "--ecmc", "5")
     assert out2.returncode != 0
+    # --ecmc-strips: simultaneous strip-confined chains; no Z reported
+    # (the lift estimator is wall-biased by design)
+    out3 = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "96",
+                   "--phi", "0.40", "--n-moves", "2", "--beta", "1.0",
+                   "--sigma", "0.15", "--sweeps", "10", "--chunk", "5",
+                   "--cells-per-side", "6", "--ecmc", "10",
+                   "--ecmc-strips", "3", "--quiet")
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    assert not [l for l in out3.stdout.splitlines()
+                if l.startswith("ecmc Z")]
