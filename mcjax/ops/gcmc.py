@@ -267,13 +267,131 @@ def _gc_color_phase(cfg: SimConfig, pot: Potential, color: int,
             jnp.sum(acc_d.astype(jnp.int32)), jnp.sum(cap.astype(jnp.int32)))
 
 
+def _gc_color_phase_cb(cfg: SimConfig, pot: Potential, color: int,
+                       pos: jax.Array, occ: jax.Array,
+                       ln_zv: jax.Array, key: jax.Array,
+                       beta, shift_fn, block_offset, n_trials: int):
+    """Configurational-bias variant of ``_gc_color_phase``: the
+    multiple-first-bead scheme (Frenkel & Smit §13.6 / Esselink et al.).
+
+    Insertion draws ``k = n_trials`` uniform trial points in the cell,
+    selects trial j with probability w_j / W (w_i = e^{-beta dU_i}, 0 on
+    hard overlap), and accepts with min(1, z v/(n+1) * W/k).  Deletion
+    balances it with k-1 fresh shadow trials:
+    min(1, n/(z v) * k / (w_del + sum_shadow w_i)).  At k=1 both reduce to
+    the standard acceptances.  At high density the k-fold hole search
+    boosts insertion acceptance by ~k, which is what makes muVT usable on
+    dense hard-core fluids (ROADMAP: "configurational-bias insertions").
+
+    The subvolume-factorization argument of ``_gc_color_phase`` is
+    unchanged: trials are uniform in the CELL and every dU reads the
+    frozen ring, so simultaneous same-color attempts stay independent and
+    the phase shards over the mesh identically.
+    """
+    from mcjax.ops.sweep import _cell_lower_bounds
+
+    dim, nmax = cfg.dim, cfg.nmax
+    k_t = n_trials
+    w = cfg.cell_width
+    own = pos[color]                        # [dim, nmax, *bs]
+    own_occ = occ[color]                    # [*bs]
+    bs = own_occ.shape
+    nbr_pos, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
+                                            block_offset)
+    lbp = _cell_lower_bounds(cfg, color, bs, block_offset)  # [dim, *bs]
+
+    k_kind, k_pt, k_pick, k_acc, k_sel, k_sh = jax.random.split(key, 6)
+    do_insert = jax.random.uniform(k_kind, bs) < 0.5
+    pts = lbp[None] + w * jax.random.uniform(k_pt, (k_t, dim, *bs))
+    pick_u = jax.random.uniform(k_pick, bs)
+    ln_u = jnp.log(jax.random.uniform(k_acc, bs, minval=1e-38, maxval=1.0))
+
+    slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+    nbr_valid = slot[None] < nbr_occ[:, None]
+    n_c = own_occ.astype(jnp.float32)
+
+    def energy_at(x, sel):
+        d_own = x[:, None] - own
+        r2_own = jnp.sum(d_own * d_own, axis=0)
+        valid_own = (slot < own_occ[None]) & ~sel
+        e_o, ov_o = pair_interaction(pot, r2_own, valid_own)
+        d_nbr = x[None, :, None] - nbr_pos
+        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=1)
+        e_n, ov_n = pair_interaction(pot, r2_nbr, nbr_valid)
+        return (jnp.sum(e_o, axis=0) + jnp.sum(e_n, axis=(0, 1)),
+                jnp.any(ov_o, axis=0) | jnp.any(ov_n, axis=(0, 1)))
+
+    no_sel = jnp.zeros((nmax,) + bs, jnp.bool_)
+
+    def ln_weight(x):
+        """ln w(x) = -beta dU(x), -inf on overlap or the fp cell sliver."""
+        du, ov = energy_at(x, no_sel)
+        lw = -beta * du if pot.has_energy else jnp.zeros(bs, jnp.float32)
+        bad = ov | ~jnp.all(x < lbp + w, axis=0)
+        return jnp.where(bad, -jnp.inf, lw)
+
+    # ---- insertion leg: select among k trials, Rosenbluth acceptance ------
+    ln_w = jax.vmap(ln_weight)(pts)                         # [k, *bs]
+    ln_W = jax.scipy.special.logsumexp(ln_w, axis=0)        # [*bs]
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(k_sel, (k_t, *bs), minval=1e-38, maxval=1.0)))
+    j_sel = jnp.argmax(ln_w + gumbel, axis=0)               # [*bs]
+    pt = jnp.take_along_axis(
+        pts, j_sel[None, None], axis=0)[0]                  # [dim, *bs]
+    has_room = own_occ < nmax
+    ln_acc_i = ln_zv - jnp.log(n_c + 1.0) + ln_W - jnp.log(float(k_t))
+    metro_i = ln_u < ln_acc_i
+    acc_i = do_insert & has_room & metro_i                  # -inf W => False
+    cap = do_insert & ~has_room & metro_i
+
+    # ---- deletion leg: candidate + k-1 shadow trials -----------------------
+    nonempty = own_occ > 0
+    p = jnp.minimum(jnp.floor(pick_u * n_c).astype(jnp.int32),
+                    jnp.maximum(own_occ - 1, 0))
+    sel = slot == p[None]
+    cand = jnp.sum(jnp.where(sel[None], own, 0.0), axis=1)
+    du_d, _ = energy_at(cand, sel)
+    ln_w_del = -beta * du_d if pot.has_energy \
+        else jnp.zeros(bs, jnp.float32)
+    if k_t > 1:
+        sh = lbp[None] + w * jax.random.uniform(k_sh, (k_t - 1, dim, *bs))
+
+        def ln_weight_del(x):
+            du, ov = energy_at(x, sel)   # candidate masked out of the ring
+            lw = -beta * du if pot.has_energy \
+                else jnp.zeros(bs, jnp.float32)
+            bad = ov | ~jnp.all(x < lbp + w, axis=0)
+            return jnp.where(bad, -jnp.inf, lw)
+
+        ln_w_sh = jax.vmap(ln_weight_del)(sh)               # [k-1, *bs]
+        ln_W_old = jax.scipy.special.logsumexp(
+            jnp.concatenate([ln_w_del[None], ln_w_sh], axis=0), axis=0)
+    else:
+        ln_W_old = ln_w_del
+    ln_acc_d = (jnp.log(jnp.maximum(n_c, 1.0)) - ln_zv
+                + jnp.log(float(k_t)) - ln_W_old)
+    acc_d = ~do_insert & nonempty & (ln_u < ln_acc_d)
+
+    # ---- apply (at most one of acc_i/acc_d per cell) -----------------------
+    ins_slot = slot == jnp.minimum(own_occ, nmax - 1)[None]
+    own = jnp.where((acc_i[None] & ins_slot)[None], pt[:, None], own)
+    last_slot = slot == jnp.maximum(own_occ - 1, 0)[None]
+    mover = jnp.sum(jnp.where(last_slot[None], own, 0.0), axis=1)
+    own = jnp.where((acc_d[None] & sel)[None], mover[:, None], own)
+    occ_new = own_occ + acc_i.astype(jnp.int32) - acc_d.astype(jnp.int32)
+
+    return (own, occ_new, jnp.sum(acc_i.astype(jnp.int32)),
+            jnp.sum(acc_d.astype(jnp.int32)), jnp.sum(cap.astype(jnp.int32)))
+
+
 def gc_phase_checkerboard(cfg: SimConfig, pot: Potential, pos: jax.Array,
                           occ: jax.Array, z: jax.Array | float,
                           key: jax.Array,
                           beta: jax.Array | float | None = None,
                           shift_fn=None,
                           block_offset: jax.Array | None = None,
-                          shard_id: jax.Array | None = None):
+                          shard_id: jax.Array | None = None,
+                          n_trials: int = 1):
     """Massively parallel GC phase: one insert/delete attempt per cell,
     color by color (shuffled order), all cells of a color at once.
 
@@ -302,9 +420,14 @@ def gc_phase_checkerboard(cfg: SimConfig, pot: Potential, pos: jax.Array,
     perm = jax.random.permutation(k_perm, n_colors)
 
     def branch(color: int, pos, occ, k):
-        own, occ_c, ins, dele, cap = _gc_color_phase(
-            cfg, pot, color, pos, occ, ln_zv, k, beta, shift_fn,
-            block_offset)
+        if n_trials > 1:
+            own, occ_c, ins, dele, cap = _gc_color_phase_cb(
+                cfg, pot, color, pos, occ, ln_zv, k, beta, shift_fn,
+                block_offset, n_trials)
+        else:
+            own, occ_c, ins, dele, cap = _gc_color_phase(
+                cfg, pot, color, pos, occ, ln_zv, k, beta, shift_fn,
+                block_offset)
         return pos.at[color].set(own), occ.at[color].set(occ_c), ins, \
             dele, cap
 
@@ -329,7 +452,8 @@ def gcmc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
                shift_fn=None,
                block_offset: jax.Array | None = None,
                shard_id: jax.Array | None = None,
-               substep_fn=None
+               substep_fn=None,
+               n_trials: int = 1
                ) -> tuple[SimState, GCMetrics]:
     """One muVT sweep: a full checkerboard particle sweep, then a GC phase.
 
@@ -338,6 +462,8 @@ def gcmc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
     single attempts; the conventional ~N attempts/sweep is one phase at
     mean occupancy >= 1). The halo args (`shift_fn`/`block_offset`/
     `shard_id`) make the whole sweep mesh-shardable (mcjax.parallel.gcmc).
+    ``n_trials > 1`` switches the checkerboard phase to configurational-bias
+    insertions/deletions (see ``_gc_color_phase_cb``).
     """
     if shift_fn is None:
         from mcjax.ops.cells import roll_shift_fn
@@ -351,7 +477,7 @@ def gcmc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
         for r in range(max(1, n_attempts)):
             pos, occ, i_, d_, c_ = gc_phase_checkerboard(
                 cfg, pot, pos, occ, z, jax.random.fold_in(kg, r), beta,
-                shift_fn, block_offset, shard_id)
+                shift_fn, block_offset, shard_id, n_trials=n_trials)
             n_ins, n_del, n_cap = n_ins + i_, n_del + d_, n_cap + c_
     else:
         pos, occ, n_ins, n_del, n_cap = gc_phase(
@@ -363,10 +489,10 @@ def gcmc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
     return st, met
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
 def run_gcmc(cfg: SimConfig, pot: Potential, state: SimState,
              z: jax.Array | float, n_sweeps: int, n_attempts: int = 0,
-             checkerboard: bool = False
+             checkerboard: bool = False, n_trials: int = 1
              ) -> tuple[SimState, GCMetrics]:
     """n_sweeps muVT sweeps as one scan; metrics stacked per sweep.
 
@@ -374,12 +500,16 @@ def run_gcmc(cfg: SimConfig, pot: Potential, state: SimState,
     particle on average, the conventional rate) for the serial phase, and
     to ONE per-cell phase (= n_cells attempts) with ``checkerboard=True``
     — the vectorized formulation that runs every cell's attempt at once
-    (see gc_phase_checkerboard)."""
+    (see gc_phase_checkerboard). ``n_trials > 1``: configurational-bias
+    insertions (checkerboard phase only)."""
     if n_attempts == 0:
         n_attempts = 1 if checkerboard else max(1, cfg.n_atoms // 4)
+    if n_trials > 1 and not checkerboard:
+        raise ValueError("configurational-bias trials need the "
+                         "checkerboard GC phase")
 
     def body(st, _):
         return gcmc_sweep(cfg, pot, st, z, n_attempts,
-                          checkerboard=checkerboard)
+                          checkerboard=checkerboard, n_trials=n_trials)
 
     return jax.lax.scan(body, state, length=n_sweeps)

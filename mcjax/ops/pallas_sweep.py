@@ -924,7 +924,7 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
         return pl.BlockSpec((1, cols), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     out_shapes = (
         jax.ShapeDtypeStruct((n_planes * nmax, rp, cp), jnp.float32),

@@ -29,7 +29,8 @@ from mcjax.parallel.mesh import _check_divisible, make_halo_shift_fn
 
 def make_sharded_run_gcmc(cfg: SimConfig, pot: Potential, mesh: Mesh,
                           spatial_axes, z, n_sweeps: int,
-                          n_attempts: int = 1, substep_fn=None):
+                          n_attempts: int = 1, substep_fn=None,
+                          n_trials: int = 1):
     """Build a jitted ``run(state) -> (state, GCMetrics)`` muVT runner over
     ``spatial_axes`` of ``mesh`` (checkerboard GC phase, ``n_attempts``
     phase repeats per sweep). Metrics come back psum'd global; shard the
@@ -57,7 +58,7 @@ def make_sharded_run_gcmc(cfg: SimConfig, pot: Potential, mesh: Mesh,
             st, m = gcmc_sweep(cfg, pot, st, z, n_attempts,
                                checkerboard=True, shift_fn=shift_fn,
                                block_offset=block_offset, shard_id=shard_id,
-                               substep_fn=substep_fn)
+                               substep_fn=substep_fn, n_trials=n_trials)
             met = GCMetrics(
                 sweep=SweepMetrics(
                     delta_e=_psum(m.sweep.delta_e),

@@ -444,6 +444,61 @@ def widom_insertion(cfg, pot: Potential, pos: jax.Array, occ: jax.Array,
     return jnp.mean(b)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def widom_insertion_species(cfg, pot: Potential, pos: jax.Array,
+                            occ: jax.Array, key: jax.Array, n_test: int,
+                            species: int | jax.Array = 0,
+                            beta: float | None = None) -> jax.Array:
+    """Widom insertion of a ghost particle of one SPECIES into a mixture
+    state: <e^{-beta dU}> with per-pair (eps, sigma, r_cut) resolved from
+    the slab species plane — the species-resolved excess chemical
+    potential mu_ex,s = -ln<B_s>/beta that pairs with the semi-grand
+    ensemble's beta*mu_s knobs (ops/semigrand.py).
+
+    ``pos`` must carry the species attribute plane (init_mixture_state
+    layout, planes = dim+1); the reference has neither mixtures nor any
+    free-energy observable (kernel.cu:17-29)."""
+    from mcjax.ops import cells as _cells
+
+    dim, nmax, cps = cfg.dim, cfg.nmax, cfg.cells_per_side
+    if beta is None:
+        beta = cfg.beta
+    L = cfg.box_length
+    s_ghost = jnp.asarray(species, jnp.int32)
+    pts = jax.random.uniform(key, (n_test, dim), minval=-L / 2.0,
+                             maxval=L / 2.0)
+
+    n_planes = pos.shape[1]
+    n_cells = cfg.n_colors * cfg.cells_per_color
+    flat_pos = jnp.moveaxis(pos.reshape(cfg.n_colors, n_planes, nmax, -1),
+                            -1, 1).reshape(n_cells, n_planes, nmax)
+    flat_occ = occ.reshape(-1)
+
+    c = _cells.cell_coords(cfg, pts)                      # [T, dim]
+    offs = jnp.asarray(_cells.neighbor_offsets(dim, include_center=True),
+                       jnp.int32)
+    nbr_c = jnp.mod(c[:, None, :] + offs[None], cps)      # [T, K, dim]
+    slot = _cells._flat_slot(cfg, nbr_c)                  # [T, K]
+
+    slabs = flat_pos[slot]                          # [T, K, n_planes, nmax]
+    counts = flat_occ[slot]                               # [T, K]
+    d = min_image(pts[:, None, :, None] - slabs[:, :, :dim], L)
+    r2 = jnp.sum(d * d, axis=2)                           # [T, K, nmax]
+    sj = slabs[:, :, dim].astype(jnp.int32)               # [T, K, nmax]
+    valid = jnp.arange(nmax)[None, None, :] < counts[:, :, None]
+    du = jnp.zeros(pts.shape[0], jnp.float32)
+    overlap = jnp.zeros(pts.shape[0], jnp.bool_)
+    if pot.has_energy:
+        e = pot.pair_energy_s(r2, s_ghost, sj)
+        du = jnp.sum(jnp.where(valid, e, 0.0), axis=(1, 2))
+    if pot.has_hard_core:
+        ov = pot.overlap_s(r2, s_ghost, sj)
+        overlap = jnp.any(valid & ov, axis=(1, 2))
+    b = jnp.where(overlap, 0.0, jnp.exp(-beta * du) if pot.has_energy
+                  else 1.0)
+    return jnp.mean(b)
+
+
 def henderson_z_disks(phi: float) -> float:
     """Henderson (1975) hard-disk EOS Z(phi) — literature closed form used as
     the parity target for the hard-disk equation of state."""
@@ -524,6 +579,47 @@ def structure_factor_cells(cfg, pos: jax.Array, occ: jax.Array,
     return jax.lax.map(one_k, kv)
 
 
+@partial(jax.jit, static_argnums=(0, 4))
+def partial_structure_factor_cells(cfg, pos: jax.Array, occ: jax.Array,
+                                   k_vectors: jax.Array,
+                                   pair: tuple[int, int] = (0, 0)
+                                   ) -> jax.Array:
+    """Ashcroft-Langreth partial structure factor for a mixture state:
+    S_ab(k) = Re[rho_a(k) rho_b(k)*] / sqrt(N_a N_b), with
+    rho_s(k) = sum_{j in species s} e^{i k.r_j}.  Direct summation over
+    the cell-list slabs (species read from the attribute plane), O(N x K)
+    — the reciprocal-space companion of the partial RDFs
+    (ops/mixture.py partial_rdf_cells), the standard diagnostic for
+    chemical ordering / demixing in binary fluids."""
+    dim, nmax = cfg.dim, cfg.nmax
+    a, b = pair
+    kv = jnp.asarray(k_vectors, jnp.float32)               # [K, dim]
+
+    def species_sums(k):
+        res = [jnp.float32(0.0)] * 2
+        ims = [jnp.float32(0.0)] * 2
+        ns = [jnp.float32(0.0)] * 2
+        for color in range(cfg.n_colors):
+            own = pos[color]                               # [dim+1, nmax, *bs]
+            own_occ = occ[color]
+            bs = own_occ.shape
+            sl = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+            valid = sl < own_occ[None]
+            sp = own[dim].round().astype(jnp.int32)
+            phase = jnp.zeros(own.shape[1:], jnp.float32)
+            for d in range(dim):
+                phase = phase + k[d] * own[d]
+            for i, s in enumerate((a, b)):
+                m = valid & (sp == s)
+                res[i] = res[i] + jnp.sum(jnp.where(m, jnp.cos(phase), 0.0))
+                ims[i] = ims[i] + jnp.sum(jnp.where(m, jnp.sin(phase), 0.0))
+                ns[i] = ns[i] + jnp.sum(m.astype(jnp.float32))
+        norm = jnp.sqrt(jnp.maximum(ns[0], 1.0) * jnp.maximum(ns[1], 1.0))
+        return (res[0] * res[1] + ims[0] * ims[1]) / norm
+
+    return jax.lax.map(species_sums, kv)
+
+
 def structure_factor_radial(cfg, pos: jax.Array, occ: jax.Array,
                             k_max: float, n_bins: int = 32
                             ) -> tuple[np.ndarray, np.ndarray]:
@@ -531,6 +627,22 @@ def structure_factor_radial(cfg, pos: jax.Array, occ: jax.Array,
     commensurate k lattice. Returns (bin centers, S)."""
     kv = k_lattice(cfg, k_max)
     s = np.asarray(structure_factor_cells(cfg, pos, occ, kv))
+    return _radial_bin(kv, s, k_max, n_bins)
+
+
+def partial_structure_factor_radial(cfg, pos: jax.Array, occ: jax.Array,
+                                    k_max: float, pair: tuple[int, int],
+                                    n_bins: int = 32
+                                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Radially averaged partial S_ab(|k|) for a mixture state."""
+    kv = k_lattice(cfg, k_max)
+    s = np.asarray(partial_structure_factor_cells(cfg, pos, occ, kv,
+                                                  pair=pair))
+    return _radial_bin(kv, s, k_max, n_bins)
+
+
+def _radial_bin(kv: np.ndarray, s: np.ndarray, k_max: float,
+                n_bins: int) -> tuple[np.ndarray, np.ndarray]:
     k_abs = np.sqrt((kv * kv).sum(-1))
     edges = np.linspace(0.0, k_max, n_bins + 1)
     idx = np.clip(np.digitize(k_abs, edges) - 1, 0, n_bins - 1)

@@ -197,3 +197,81 @@ def test_sharded_gcmc_ideal_gas():
     assert int(jnp.sum(mtr.capacity_rejects)) == 0
     assert int(jnp.sum(st.occ)) == int(mtr.n_particles[-1])
     assert len(st.pos.sharding.device_set) == 4
+
+
+def test_gcmc_cb_ideal_gas_exact():
+    """Configurational-bias (k=4 Rosenbluth trials) reduces exactly to the
+    plain acceptances for the ideal gas: <N> = zV, N ~ Poisson."""
+    cfg = SimConfig(dim=2, n_atoms=40, box_length=12.0, cells_per_side=4,
+                    nmax=14, n_moves=2, proposal="uniform", step_size=0.5,
+                    beta=1.0)
+    pot = LennardJones(epsilon=0.0)
+    st = init_state(cfg)
+    n_target = 40.0
+    z = n_target / cfg.box_length ** 2
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 300, checkerboard=True,
+                          n_trials=4)
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 1500, checkerboard=True,
+                          n_trials=4)
+    n_mean = float(jnp.mean(m.n_particles.astype(jnp.float32)))
+    assert abs(n_mean - n_target) / n_target < 0.06, n_mean
+    n_var = float(jnp.var(m.n_particles.astype(jnp.float32)))
+    assert 0.3 * n_mean < n_var < 3.0 * n_mean, (n_mean, n_var)
+    assert int(jnp.sum(m.capacity_rejects)) == 0
+
+
+def test_gcmc_cb_hard_disks_matches_plain_and_boosts_insertion():
+    """Balance check for the multiple-first-bead scheme: at one activity,
+    k=6 Rosenbluth trials settle at the SAME density as plain k=1 (both
+    exact).  The hole-finding boost only materializes where the acceptance
+    saturates (z v W/(k(n+1)) >= 1): from the same dense state at high
+    activity, k=8 must accept several times more insertions than k=1."""
+    from mcjax.ops import cells
+
+    n, phi = 96, 0.25
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=2, proposal="uniform", step_size=0.15,
+                    beta=1.0)
+    hs = HardSphere(1.0)
+    z = 2.0
+
+    def run(n_trials, seed):
+        st = init_state(cfg, seed=seed)
+        st, _ = gcmc.run_gcmc(cfg, hs, st, z, 300, 1, True,
+                              n_trials=n_trials)
+        st, m = gcmc.run_gcmc(cfg, hs, st, z, 1200, 1, True,
+                              n_trials=n_trials)
+        ns = np.asarray(m.n_particles, dtype=np.float64)
+        bm = ns.reshape(8, -1).mean(1)
+        return (ns.mean(), bm.std() / math.sqrt(len(bm) - 1), st)
+
+    m1, s1, st1 = run(1, seed=3)
+    m6, s6, st6 = run(6, seed=4)
+    tol = 4.0 * math.hypot(s1, s6) + 0.02 * m1
+    assert abs(m1 - m6) < tol, (m1, s1, m6, s6)
+    # hard-core invariant survives CB insertions
+    from mcjax.models.reference import total_energy
+    r = cells.unbin(cfg, st6.pos, st6.occ, n_out=int(jnp.sum(st6.occ)))
+    _, ov = total_energy(hs, np.asarray(r), cfg.box_length)
+    assert not bool(ov)
+    # saturated regime: same dense start, z=50 -> CB k=8 inserts >> k=1
+    z_hi = 50.0
+    _, mh1 = gcmc.run_gcmc(cfg, hs, st1, z_hi, 60, 1, True, n_trials=1)
+    _, mh8 = gcmc.run_gcmc(cfg, hs, st1, z_hi, 60, 1, True, n_trials=8)
+    ins1, ins8 = int(jnp.sum(mh1.inserted)), int(jnp.sum(mh8.inserted))
+    assert ins8 > 2 * ins1, (ins1, ins8)
+
+
+def test_gcmc_cb_requires_checkerboard():
+    import pytest
+
+    cfg = SimConfig(dim=2, n_atoms=16, box_length=12.0, cells_per_side=4,
+                    nmax=6, n_moves=1, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    st = init_state(cfg)
+    with pytest.raises(ValueError):
+        gcmc.run_gcmc(cfg, HardSphere(1.0), st, 0.3, 2, 1,
+                      checkerboard=False, n_trials=4)
