@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="muVT (grand-canonical) run at activity z = "
                         "e^{beta mu}/Lambda^d: checkerboard insertion/"
                         "deletion phases between sweeps (mcjax.ops.gcmc)")
+    p.add_argument("--gc-trials", type=int, default=1, metavar="K",
+                   help="configurational-bias muVT: K trial positions per "
+                        "cell insertion (Rosenbluth-selected; ~K-fold hole-"
+                        "finding boost at high density; default 1 = plain)")
     p.add_argument("--gc-attempts", type=int, default=1, metavar="R",
                    help="GC phase repeats per sweep (each phase attempts "
                         "one insert-or-delete in EVERY cell)")
@@ -143,6 +147,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the per-sweep energy trace every k sweeps "
                         "(the reference prints every sweep, kernel.cu:695; "
                         "0 = per-chunk prints only)")
+    p.add_argument("--virial", action="store_true",
+                   help="print the virial pressure of the final state "
+                        "(cell-list pass; energetic models incl. mixtures — "
+                        "hard cores: use the ECMC/contact EOS routes)")
+    p.add_argument("--stats", action="store_true",
+                   help="after the run, print mean +- error (blocking), "
+                        "integrated autocorrelation time, effective sample "
+                        "size and equilibration cut of the per-sweep energy "
+                        "trace (mcjax.utils.stats)")
     p.add_argument("--tune-acceptance", type=float, default=None,
                    metavar="TARGET",
                    help="auto-tune step size toward TARGET acceptance during "
@@ -345,6 +358,7 @@ def main(argv=None) -> int:
         print(f"{int(state.sweep)}: {e:.6f}")
 
     frames, frame_types = [], []
+    e_trace = []
     # --sweeps is the number to run in THIS invocation (a resumed run's
     # checkpoint carries the original cfg.sweeps, which is not what we want).
     # Distribute exactly: a final partial chunk costs one extra compile but
@@ -365,6 +379,8 @@ def main(argv=None) -> int:
         de_per_sweep = np.asarray(m.delta_e, np.float64)
         accepted += int(np.sum(np.asarray(m.accepted, np.int64)))
         proposed += int(np.sum(np.asarray(m.proposed, np.int64)))
+        if args.stats:
+            e_trace.append(e + np.cumsum(de_per_sweep))
         if args.trace_every and not args.quiet:
             # the reference prints the running energy every sweep
             # (kernel.cu:695); the data is already stacked per sweep
@@ -418,6 +434,19 @@ def main(argv=None) -> int:
             io.save_checkpoint(args.checkpoint, cfg, state, pot)
     dt = time.perf_counter() - t_start
 
+    if args.stats and e_trace:
+        from mcjax.utils import stats as stats_mod
+        tr = np.concatenate(e_trace)
+        if tr.size >= 8 and float(np.ptp(tr)) > 0.0:
+            idx = stats_mod.equilibration_index(tr)
+            prod = tr[idx:] if tr.size - idx >= 8 else tr
+            mean, err = stats_mod.error_of_mean(prod)
+            tau = stats_mod.integrated_autocorrelation_time(prod)
+            print(f"stats E {mean:.6f} err {err:.6f} tau_int {tau:.2f} "
+                  f"n_eff {prod.size / (2.0 * tau):.0f} equil {idx}")
+        else:
+            print(f"stats E {float(tr[-1]):.6f} err nan tau_int nan "
+                  f"n_eff {tr.size} equil 0", file=sys.stdout)
     if args.dump and frames:
         io.write_lammps_dump(args.dump, np.stack(frames), cfg.box_length,
                              types=(np.stack(frame_types) if frame_types
@@ -453,18 +482,37 @@ def main(argv=None) -> int:
             for cc, gg in zip(np.asarray(centers), np.asarray(g)):
                 print(f"g {cc:.4f} {gg:.4f}")
     if args.widom is not None:
-        if mixture:
-            raise SystemExit("--widom needs a single-species model (a ghost "
-                             "particle has one species)")
         import jax
         import jax.numpy as _jnp
         # negative tag: disjoint from the sweep tree (sweep >= 0); must be a
         # traced int32 (a Python -7 fails uint32 coercion)
         kw = jax.random.fold_in(state.key, _jnp.int32(-7))
-        b = float(observables.widom_insertion(cfg, pot, state.pos, state.occ,
-                                              kw, args.widom))
-        mu = -math.log(max(b, 1e-300)) / cfg.beta
-        print(f"widom B {b:.6e} mu_ex {mu:.6f}")
+        if mixture:
+            # species-resolved mu_ex,s — one ghost species at a time
+            for s in range(pot.n_species):
+                b = float(observables.widom_insertion_species(
+                    cfg, pot, state.pos, state.occ, kw, args.widom,
+                    species=s))
+                mu = -math.log(max(b, 1e-300)) / cfg.beta
+                print(f"widom{s} B {b:.6e} mu_ex {mu:.6f}")
+        else:
+            b = float(observables.widom_insertion(cfg, pot, state.pos,
+                                                  state.occ, kw, args.widom))
+            mu = -math.log(max(b, 1e-300)) / cfg.beta
+            print(f"widom B {b:.6e} mu_ex {mu:.6f}")
+    if args.virial:
+        if not pot.has_energy:
+            raise SystemExit("--virial needs an energetic model (hard "
+                             "cores: use --ecmc or the contact-shell EOS)")
+        if mixture:
+            from mcjax.ops.mixture import virial_pressure_cells_mixture
+            pv = float(virial_pressure_cells_mixture(
+                cfg, pot, state.pos, state.occ, cfg.beta))
+        else:
+            pv = float(observables.virial_pressure_cells(
+                cfg, pot, state.pos, state.occ, cfg.beta))
+        rho = cfg.n_atoms / cfg.box_length**cfg.dim
+        print(f"virial P {pv:.6f} betaP/rho {cfg.beta * pv / rho:.6f}")
     if args.psi6:
         if cfg.dim != 2 or mixture:
             raise SystemExit("--psi6 is a 2D single-species observable")
@@ -472,10 +520,19 @@ def main(argv=None) -> int:
         val = float(observables.psi6_cells(cfg, state.pos, state.occ, r_cut))
         print(f"psi6 {val:.6f}")
     if args.sk is not None:
-        ks, s = observables.structure_factor_radial(cfg, state.pos,
-                                                    state.occ, args.sk)
-        for kk, ss in zip(ks, s):
-            print(f"sk {kk:.4f} {ss:.4f}")
+        if mixture:
+            # partial S_ab(k): the chemical-ordering diagnostic
+            for a in range(pot.n_species):
+                for b in range(a, pot.n_species):
+                    ks, s = observables.partial_structure_factor_radial(
+                        cfg, state.pos, state.occ, args.sk, (a, b))
+                    for kk, ss in zip(ks, s):
+                        print(f"sk{a}{b} {kk:.4f} {ss:.4f}")
+        else:
+            ks, s = observables.structure_factor_radial(cfg, state.pos,
+                                                        state.occ, args.sk)
+            for kk, ss in zip(ks, s):
+                print(f"sk {kk:.4f} {ss:.4f}")
     if args.ecmc and ecmc_length > 0:
         z = 1.0 + ecmc_excess / ecmc_length
         print(f"ecmc Z {z:.6f}")
@@ -551,7 +608,8 @@ def gcmc_main(args, cfg, pot, state) -> int:
     n_hist = []
     for chunk in chunks:
         state, m = gcmc_mod.run_gcmc(cfg, pot, state, args.activity, chunk,
-                                     args.gc_attempts, checkerboard=True)
+                                     args.gc_attempts, checkerboard=True,
+                                     n_trials=args.gc_trials)
         ins += int(jnp.sum(m.inserted))
         dele += int(jnp.sum(m.deleted))
         cap += int(jnp.sum(m.capacity_rejects))

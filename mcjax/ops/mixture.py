@@ -201,6 +201,59 @@ def total_interaction_cells_mixture(cfg: SimConfig, pot, pos: jax.Array,
     return total, any_ov
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def virial_pressure_cells_mixture(cfg: SimConfig, pot, pos: jax.Array,
+                                  occ: jax.Array, beta) -> jax.Array:
+    """Virial pressure of a MIXTURE state from the cell-list slabs:
+    P = rho/beta + <sum_pairs w(r_ij)>/(dim V), w = -r dV_ab/dr obtained by
+    autodiff of ``pot.pair_energy_s`` at fixed species — the mixture
+    counterpart of utils.observables.virial_pressure_cells (the reference
+    has neither mixtures nor any pressure observable, kernel.cu:17-29).
+
+    Energetic potentials only (LJMixture etc.); for hard-core mixtures use
+    the contact-value equation of state on partial_rdf_cells instead."""
+    if not pot.has_energy:
+        raise ValueError("virial pressure needs an energetic mixture "
+                         "(hard cores: use the contact-value EOS route)")
+    nmax, dim = cfg.nmax, cfg.dim
+    n_tot = jnp.sum(occ)
+
+    def pair_w(r2, si, sj, valid):
+        # w(r2) = -2 r2 dV/dr2 == -r dV/dr, species held fixed
+        de_dr2 = jax.grad(
+            lambda s: jnp.sum(pot.pair_energy_s(s, si, sj)))(r2)
+        return jnp.sum(jnp.where(valid, -2.0 * r2 * de_dr2, 0.0))
+
+    w_sum = jnp.float32(0.0)
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        ownp, ownspec = own[:dim], own[dim]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        d = min_image(ownp[:, :, None] - ownp[:, None, :], cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        vv = (valid_i[:, None] & valid_i[None, :]
+              & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
+                 ).reshape((nmax, nmax) + (1,) * len(bs)))
+        w_sum = w_sum + 0.5 * pair_w(r2, ownspec[:, None],
+                                     ownspec[None, :], vv)
+        nbr_all, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color)
+        nbrp, nbrspec = nbr_all[:, :dim], nbr_all[:, dim]
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = min_image(ownp[None, :, :, None] - nbrp[:, :, None, :],
+                       cfg.box_length)
+        r2x = jnp.sum(dx * dx, axis=1)
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        w_sum = w_sum + 0.5 * pair_w(r2x, ownspec[None, :, None],
+                                     nbrspec[:, None, :], vx)
+
+    volume = cfg.box_length**dim
+    rho = n_tot / volume
+    return rho / beta + w_sum / (dim * volume)
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def partial_rdf_cells(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
                       n_bins: int, r_max: float, pair: tuple[int, int]

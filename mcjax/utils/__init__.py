@@ -1,3 +1,4 @@
-from mcjax.utils import debug, io, observables, profiling
+from mcjax.utils import (debug, io, observables, profiling, reweight,
+                         stats)
 
-__all__ = ["debug", "io", "observables", "profiling"]
+__all__ = ["debug", "io", "observables", "profiling", "reweight", "stats"]

@@ -103,6 +103,40 @@ def test_cli_exact_sweep_count_and_trace(tmp_path):
     assert [l.split(":")[0] for l in lines] == ["0", "1", "2", "3", "4"], lines
 
 
+def test_cli_virial(tmp_path):
+    # single-species LJ: virial P printed and finite
+    out = run_cli("--preset", "reference-lj", "--sweeps", "2", "--chunk",
+                  "2", "--virial", "--quiet")
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("virial P")]
+    assert len(line) == 1 and math.isfinite(float(line[0].split()[2]))
+    # mixture route
+    out2 = run_cli("--model", "ka", "--dim", "3", "--n-atoms", "1200",
+                   "--rho", "1.2", "--n-moves", "2", "--beta", "1.25",
+                   "--sigma", "0.09", "--sweeps", "2", "--chunk", "2",
+                   "--virial", "--engine", "xla", "--quiet")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert any(l.startswith("virial P") for l in out2.stdout.splitlines())
+    # hard disks: clean error pointing at the EOS routes
+    out3 = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "64",
+                   "--phi", "0.3", "--n-moves", "2", "--sweeps", "1",
+                   "--chunk", "1", "--virial")
+    assert out3.returncode != 0 and "ecmc" in (out3.stderr or "").lower()
+
+
+def test_cli_stats_report(tmp_path):
+    # --stats: blocking mean/err + tau over the per-sweep energy trace
+    out = run_cli("--preset", "reference-lj", "--sweeps", "24", "--chunk",
+                  "8", "--stats", "--quiet")
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("stats E")]
+    assert len(line) == 1, out.stdout
+    toks = line[0].split()
+    e_mean, err = float(toks[2]), float(toks[4])
+    tau = float(toks[6])
+    assert math.isfinite(e_mean) and err >= 0.0 and tau >= 0.5, line
+
+
 def test_cli_resume_restores_potential(tmp_path):
     # hard-disk run -> resume with NO --model: physics must come from the
     # checkpoint (a silently-substituted default LJ was VERDICT r1 Weak #4)
@@ -179,6 +213,13 @@ def test_cli_widom_psi6(tmp_path):
     assert "widom B" in out.stdout and "psi6" in out.stdout
     b = float(out.stdout.split("widom B")[1].split()[0])
     assert 0.0 <= b <= 1.0     # hard disks: B is an insertion probability
+    # mixtures: species-resolved widom (one line per ghost species)
+    out2 = run_cli("--model", "ka", "--dim", "3", "--n-atoms", "1200",
+                   "--rho", "1.2", "--n-moves", "2", "--beta", "1.25",
+                   "--sigma", "0.09", "--sweeps", "2", "--chunk", "2",
+                   "--widom", "16", "--engine", "xla")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "widom0 B" in out2.stdout and "widom1 B" in out2.stdout
 
 
 def test_cli_tempering_and_ensemble(tmp_path):

@@ -5,6 +5,8 @@ an extra coordinate plane through binning/shift/neighbor transport) is
 mcjax's own — these tests pin its invariants.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -278,3 +280,134 @@ def test_binary_blended_matches_masked():
             if mismatch.any():
                 assert np.all(np.abs(np.asarray(r2h)[mismatch] - dab * dab)
                               < 1e-6)
+
+
+def test_widom_species_resolved():
+    """Species-resolved Widom insertion (utils/observables.py
+    widom_insertion_species): an equal-table hard mixture matches the
+    single-species widom bitwise on the same coordinates and key; a
+    non-additive table makes the LARGER ghost species insert less often;
+    a zero-epsilon LJ mixture gives B = 1 exactly."""
+    import math
+
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import HardSphere
+    from mcjax.utils.observables import (widom_insertion,
+                                         widom_insertion_species)
+
+    n, phi = 80, 0.35
+    box = math.sqrt(n * math.pi / 4.0 / phi)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=2, proposal="uniform", step_size=0.12,
+                    beta=1.0, seed=2)
+    r0 = cells.stratified_positions(cfg, min_separation=1.0)
+    spec = (jnp.arange(n) % 2).astype(jnp.int32)
+    key = jax.random.key(13)
+
+    # 1) equal-table mixture == single-species, same points, exactly
+    eq = HardSphereMixture(diameter=((1.0, 1.0), (1.0, 1.0)))
+    st_m = init_mixture_state(cfg, r0, spec)
+    st_s = init_state(cfg, positions=r0)
+    b_mix = float(widom_insertion_species(cfg, eq, st_m.pos, st_m.occ,
+                                          key, 400, species=0))
+    b_sin = float(widom_insertion(cfg, HardSphere(1.0), st_s.pos, st_s.occ,
+                                  key, 400))
+    assert b_mix == b_sin, (b_mix, b_sin)
+
+    # 2) larger ghost inserts less often (non-additive table)
+    na = HardSphereMixture(diameter=((1.2, 0.9), (0.9, 0.6)))
+    b_large = float(widom_insertion_species(cfg, na, st_m.pos, st_m.occ,
+                                            key, 400, species=0))
+    b_small = float(widom_insertion_species(cfg, na, st_m.pos, st_m.occ,
+                                            key, 400, species=1))
+    assert b_small > b_large > 0.0, (b_large, b_small)
+
+    # 3) ideal mixture: B = 1 exactly
+    ideal = LJMixture(epsilon=((0.0, 0.0), (0.0, 0.0)),
+                      sigma=((1.0, 1.0), (1.0, 1.0)),
+                      r_cut_table=((2.5, 2.5), (2.5, 2.5)))
+    b_id = float(widom_insertion_species(cfg, ideal, st_m.pos, st_m.occ,
+                                         key, 200, species=1))
+    assert b_id == 1.0
+
+
+def test_virial_pressure_mixture():
+    """virial_pressure_cells_mixture: equal-table LJ mixture matches the
+    single-species cell-list virial on identical coordinates; zero-epsilon
+    gives the ideal P = rho/beta; and for the non-ideal case pressure
+    reacts to the species composition (A-A stronger than B-B here)."""
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import LennardJones
+    from mcjax.ops.mixture import virial_pressure_cells_mixture
+    from mcjax.utils.observables import virial_pressure_cells
+
+    cfg = SimConfig(dim=2, n_atoms=72, box_length=12.0, cells_per_side=4,
+                    nmax=14, n_moves=2, proposal="gaussian", step_size=0.2,
+                    beta=1.2, seed=5)
+    r, spec = random_mixture(cfg, frac_b=0.5, seed=11)
+    st = init_mixture_state(cfg, r, spec)
+
+    eq = LJMixture(epsilon=((0.7, 0.7), (0.7, 0.7)),
+                   sigma=((1.0, 1.0), (1.0, 1.0)),
+                   r_cut_table=((2.5, 2.5), (2.5, 2.5)))
+    p_mix = float(virial_pressure_cells_mixture(cfg, eq, st.pos, st.occ,
+                                                cfg.beta))
+    st_s = init_state(cfg, positions=r)
+    p_sin = float(virial_pressure_cells(
+        cfg, LennardJones(epsilon=0.7, sigma=1.0, r_cut=2.5),
+        st_s.pos, st_s.occ, cfg.beta))
+    assert abs(p_mix - p_sin) < 1e-4 * max(1.0, abs(p_sin)), (p_mix, p_sin)
+
+    ideal = LJMixture(epsilon=((0.0, 0.0), (0.0, 0.0)),
+                      sigma=((1.0, 1.0), (1.0, 1.0)),
+                      r_cut_table=((2.5, 2.5), (2.5, 2.5)))
+    p_id = float(virial_pressure_cells_mixture(cfg, ideal, st.pos, st.occ,
+                                               cfg.beta))
+    rho = cfg.n_atoms / cfg.box_length**2
+    assert abs(p_id - rho / cfg.beta) < 1e-5
+
+    # hard-core mixtures are rejected (no pair_energy to differentiate)
+    import pytest
+    with pytest.raises(ValueError):
+        virial_pressure_cells_mixture(
+            cfg, HardSphereMixture(diameter=((1.0, 0.9), (0.9, 0.8))),
+            st.pos, st.occ, cfg.beta)
+
+
+def test_partial_structure_factor_matches_direct():
+    """S_ab(k) from the cell-list slabs == direct numpy evaluation of
+    rho_a rho_b* / sqrt(N_a N_b); S_aa of an all-one-species state equals
+    the total S(k)."""
+    from mcjax.utils.observables import (k_lattice,
+                                         partial_structure_factor_cells,
+                                         structure_factor_cells)
+
+    cfg = SimConfig(dim=2, n_atoms=60, box_length=12.0, cells_per_side=4,
+                    nmax=14, n_moves=2, proposal="uniform", step_size=0.2,
+                    beta=1.0, seed=4)
+    r, spec = random_mixture(cfg, frac_b=0.4, seed=7)
+    st = init_mixture_state(cfg, r, spec)
+    kv = k_lattice(cfg, 3.0)
+
+    flat = np.asarray(unbin_mixture(cfg, st.pos, st.occ)[0])
+    sp = np.asarray(unbin_mixture(cfg, st.pos, st.occ)[1])
+    for pair in [(0, 0), (0, 1), (1, 1)]:
+        s_dev = np.asarray(partial_structure_factor_cells(
+            cfg, st.pos, st.occ, kv, pair=pair))
+        rho = []
+        for s in pair:
+            m = sp == s
+            ph = flat[m] @ np.asarray(kv).T            # [N_s, K]
+            rho.append(np.cos(ph).sum(0) + 1j * np.sin(ph).sum(0))
+        n_a, n_b = (sp == pair[0]).sum(), (sp == pair[1]).sum()
+        s_ref = (rho[0] * np.conj(rho[1])).real / math.sqrt(n_a * n_b)
+        np.testing.assert_allclose(s_dev, s_ref, rtol=2e-3, atol=2e-3)
+
+    # all-A state: S_00 == total S(k)
+    st_a = init_mixture_state(cfg, r, jnp.zeros_like(spec))
+    s_aa = np.asarray(partial_structure_factor_cells(
+        cfg, st_a.pos, st_a.occ, kv, pair=(0, 0)))
+    s_tot = np.asarray(structure_factor_cells(cfg, st_a.pos, st_a.occ, kv))
+    np.testing.assert_allclose(s_aa, s_tot, rtol=1e-4, atol=1e-4)
