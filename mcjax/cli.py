@@ -31,11 +31,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", choices=["reference-lj", "hard-disk-64k"],
                    help="canned configurations")
     p.add_argument("--model", choices=["lj", "hard", "wca", "soft",
-                                       "squarewell", "yukawa", "ka"],
+                                       "squarewell", "yukawa", "morse",
+                                       "ka"],
                    default=None,
                    help="pair model (default lj; 'ka' = Kob-Andersen 80:20 "
                         "binary LJ mixture; on --resume the model comes "
                         "from the checkpoint and --model must agree)")
+    p.add_argument("--table", type=str, default=None, metavar="FILE",
+                   help="tabulated pair potential: 2-column (r, e) text "
+                        "file, fit to a polynomial in 1/r^2 and run at "
+                        "analytic-model speed in both engines (header "
+                        "keys: '# degree N', '# r_cut X', '# core D')")
     p.add_argument("--mixture-json", type=str, default=None,
                    help="binary/multi-species LJ mixture tables from a JSON "
                         "or YAML file: {epsilon: [[..]], sigma: [[..]], "
@@ -168,11 +174,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def potential_from_args(args):
-    from mcjax.models.potentials import (HardSphere, LennardJones, SoftSphere,
-                                         SquareWell, WCA, Yukawa)
+    from mcjax.models.potentials import (HardSphere, LennardJones, Morse,
+                                         SoftSphere, SquareWell, WCA, Yukawa)
 
     if getattr(args, "mixture_json", None):
         return _mixture_from_file(args.mixture_json)
+    if getattr(args, "table", None):
+        return _table_from_file(args.table)
     if args.model == "ka":
         from mcjax.models.mixtures import kob_andersen
         return kob_andersen()
@@ -181,7 +189,44 @@ def potential_from_args(args):
             "wca": WCA(),
             "soft": SoftSphere(),
             "squarewell": SquareWell(),
-            "yukawa": Yukawa()}[args.model or "lj"]
+            "yukawa": Yukawa(),
+            "morse": Morse()}[args.model or "lj"]
+
+
+def _table_from_file(path: str):
+    """Fitted pair potential from a 2-column (r, e) text table — the
+    TPU-native tabulated pair style: least-squares polynomial in 1/r^2
+    (models/potentials.py fit_pair_polynomial), evaluated as a Horner FMA
+    chain in both engines (no per-lane gathers).
+
+    Lines starting with '#' are comments; optional header keys
+    '# degree N', '# r_cut X', '# core D' override the defaults."""
+    from mcjax.models.potentials import fit_pair_polynomial
+
+    degree, r_cut, core = 8, None, 0.0
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                toks = line[1:].split()
+                if len(toks) == 2 and toks[0] in ("degree", "r_cut", "core"):
+                    if toks[0] == "degree":
+                        degree = int(toks[1])
+                    elif toks[0] == "r_cut":
+                        r_cut = float(toks[1])
+                    else:
+                        core = float(toks[1])
+                continue
+            a, b = line.split()[:2]
+            rows.append((float(a), float(b)))
+    if not rows:
+        raise SystemExit(f"no (r, e) samples in table {path}")
+    r, e = np.asarray(rows).T
+    return fit_pair_polynomial(r, e, degree=degree, r_cut=r_cut,
+                               core_diameter=core)
 
 
 def _mixture_from_file(path: str):

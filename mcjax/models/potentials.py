@@ -239,6 +239,127 @@ class Yukawa:
         return jnp.zeros(r2.shape, jnp.bool_)
 
 
+@dataclasses.dataclass(frozen=True)
+class Morse:
+    """Morse potential: eps ((1 - e^{-a(r - r0)})^2 - 1), truncated at
+    r_cut and optionally shifted to zero there (metallic bonding / deep
+    smooth wells; a sets the stiffness, r0 the minimum).
+    """
+
+    epsilon: float = 1.0
+    r0: float = 1.0
+    a: float = 5.0
+    r_cut: float = 2.5
+    shift: bool = True
+    has_energy: bool = dataclasses.field(default=True, init=False)
+    has_hard_core: bool = dataclasses.field(default=False, init=False)
+
+    def _bare(self, r):
+        x = 1.0 - jnp.exp(-self.a * (r - self.r0))
+        return self.epsilon * (x * x - 1.0)
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        e = self._bare(r)
+        if self.shift:
+            import math as _m
+
+            xc = 1.0 - _m.exp(-self.a * (self.r_cut - self.r0))
+            e = e - self.epsilon * (xc * xc - 1.0)
+        return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(r2.shape, jnp.bool_)
+
+
+@dataclasses.dataclass(frozen=True)
+class PolynomialPotential:
+    """User-defined isotropic pair potential as a polynomial in u = 1/r2:
+    e(r) = sum_k coeffs[k] u^k for r <= r_cut, optional hard core below
+    ``core_diameter``.  Built by :func:`fit_pair_polynomial` from any
+    (r, e) table.
+
+    This is the TPU-native answer to LAMMPS-style tabulated pair styles:
+    a table lookup is a per-lane gather (poison on the VPU — and
+    unsupported in the Pallas sub-sweep's vector regs), while a Horner
+    chain in the already-computed reciprocal is pure FMA at ~1
+    cycle/degree/lane and drops into BOTH engines unchanged.  LJ itself
+    is exactly degree 6 in u (terms 3 and 6), so the fit represents the
+    smooth families exactly, not approximately.
+    """
+
+    coeffs: tuple = (0.0,)
+    r_cut: float = 2.5
+    core_diameter: float = 0.0
+    has_energy: bool = dataclasses.field(default=True, init=False)
+
+    def __post_init__(self):
+        # coerce JSON-round-tripped lists back to a hashable tuple
+        object.__setattr__(self, "coeffs",
+                           tuple(float(c) for c in self.coeffs))
+
+    @property
+    def has_hard_core(self) -> bool:
+        return self.core_diameter > 0.0
+
+    def pair_energy(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return self._energy(r2, _safe_inv)
+
+    def pair_energy_pl(self, r2: jnp.ndarray) -> jnp.ndarray:
+        """Pallas-kernel variant (Newton-refined approximate reciprocal)."""
+        return self._energy(r2, _pl_safe_inv)
+
+    def _energy(self, r2, inv_fn):
+        u = inv_fn(r2)
+        e = jnp.full(r2.shape, jnp.float32(self.coeffs[-1]))
+        for c in reversed(self.coeffs[:-1]):   # Horner in u
+            e = e * u + jnp.float32(c)
+        return jnp.where(r2 <= self.r_cut * self.r_cut, e, 0.0)
+
+    def overlap(self, r2: jnp.ndarray) -> jnp.ndarray:
+        if self.core_diameter <= 0.0:
+            return jnp.zeros(r2.shape, jnp.bool_)
+        return r2 < self.core_diameter * self.core_diameter
+
+
+def fit_pair_polynomial(r, e, degree: int = 8, r_cut: float | None = None,
+                        core_diameter: float = 0.0) -> PolynomialPotential:
+    """Least-squares fit of a sampled pair potential e(r) to a polynomial
+    in u = 1/r2 (see :class:`PolynomialPotential`), pinned to zero at the
+    cutoff.  Returns the fitted potential and raises if the residual is
+    worse than 1e-3 of the sampled energy scale (a bad basis/degree should
+    fail loudly, not corrupt a simulation silently).
+
+    Samples inside ``core_diameter`` are excluded (the hard core rejects
+    before any energy is evaluated there)."""
+    import numpy as _np
+
+    r = _np.asarray(r, dtype=_np.float64).reshape(-1)
+    e = _np.asarray(e, dtype=_np.float64).reshape(-1)
+    if r.shape != e.shape or r.size < degree + 1:
+        raise ValueError("need matching r/e samples, more than degree+1")
+    if r_cut is None:
+        r_cut = float(r.max())
+    keep = (r > core_diameter) & (r <= r_cut)
+    if keep.sum() < degree + 1:
+        raise ValueError("too few samples inside (core, r_cut]")
+    u = 1.0 / (r[keep] ** 2)
+    # basis with the cutoff pinned: p(u) - p(u_cut) spans {u^k - u_cut^k}
+    uc = 1.0 / (r_cut * r_cut)
+    av = _np.stack([u**k - uc**k for k in range(1, degree + 1)], axis=1)
+    sol, *_ = _np.linalg.lstsq(av, e[keep], rcond=None)
+    resid = av @ sol - e[keep]
+    scale = max(float(_np.abs(e[keep]).max()), 1e-12)
+    if float(_np.abs(resid).max()) > 1e-3 * scale:
+        raise ValueError(
+            f"polynomial fit residual {float(_np.abs(resid).max()):.3g} "
+            f"exceeds 1e-3 x energy scale {scale:.3g}; raise the degree, "
+            f"add a hard core below the stiff region, or shrink r_cut")
+    c0 = -float(_np.sum(sol * uc ** _np.arange(1, degree + 1)))
+    return PolynomialPotential(coeffs=(c0, *map(float, sol)), r_cut=r_cut,
+                               core_diameter=core_diameter)
+
+
 _POTENTIAL_REGISTRY: dict[str, type] = {}
 
 
@@ -247,7 +368,8 @@ def _register(cls: type) -> type:
     return cls
 
 
-for _cls in (LennardJones, HardSphere, SoftSphere, WCA, SquareWell, Yukawa):
+for _cls in (LennardJones, HardSphere, SoftSphere, WCA, SquareWell, Yukawa,
+             Morse, PolynomialPotential):
     _register(_cls)
 
 

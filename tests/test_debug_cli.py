@@ -103,6 +103,36 @@ def test_cli_exact_sweep_count_and_trace(tmp_path):
     assert [l.split(":")[0] for l in lines] == ["0", "1", "2", "3", "4"], lines
 
 
+def test_cli_table_and_morse(tmp_path):
+    # tabulated pair style: LJ samples -> fitted polynomial -> short run;
+    # its virial must match the analytic --model lj run on the same seed
+    r = np.linspace(0.85, 2.5, 300)
+    e = 4.0 * ((1.0 / r) ** 12 - (1.0 / r) ** 6)
+    e -= 4.0 * (2.5**-12 - 2.5**-6)         # shifted to 0 at r_cut
+    tab = tmp_path / "lj.tab"
+    tab.write_text("# degree 6\n# r_cut 2.5\n" + "\n".join(
+        f"{a:.8f} {b:.8e}" for a, b in zip(r, e)))
+    # --sweeps 0: identical (initial) state, so the only difference is
+    # the fit error and the shift constant, which cancels in the virial
+    common = ["--dim", "2", "--n-atoms", "100", "--rho", "0.4",
+              "--n-moves", "2", "--beta", "1.0", "--sweeps", "0",
+              "--chunk", "2", "--virial", "--quiet", "--seed", "3"]
+    out_t = run_cli("--table", str(tab), *common)
+    assert out_t.returncode == 0, out_t.stderr[-2000:]
+    out_l = run_cli("--model", "lj", *common)
+    assert out_l.returncode == 0, out_l.stderr[-2000:]
+    pv_t = float([l for l in out_t.stdout.splitlines()
+                  if l.startswith("virial P")][0].split()[2])
+    pv_l = float([l for l in out_l.stdout.splitlines()
+                  if l.startswith("virial P")][0].split()[2])
+    assert abs(pv_t - pv_l) < 1e-2 * max(1.0, abs(pv_l)), (pv_t, pv_l)
+    # morse model smoke
+    out_m = run_cli("--model", "morse", "--dim", "2", "--n-atoms", "64",
+                    "--rho", "0.3", "--n-moves", "2", "--beta", "1.0",
+                    "--sweeps", "2", "--chunk", "2", "--quiet")
+    assert out_m.returncode == 0, out_m.stderr[-2000:]
+
+
 def test_cli_virial(tmp_path):
     # single-species LJ: virial P printed and finite
     out = run_cli("--preset", "reference-lj", "--sweeps", "2", "--chunk",

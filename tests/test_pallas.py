@@ -84,3 +84,27 @@ def test_pallas_flat_carry_lane_multiple_grid():
     np.testing.assert_array_equal(np.asarray(a.occ), np.asarray(b.occ))
     np.testing.assert_array_equal(np.asarray(ma.accepted),
                                   np.asarray(mb.accepted))
+
+
+def test_pallas_polynomial_potential_matches_xla():
+    """The fitted-table PolynomialPotential drives the Pallas kernel via
+    its Horner pair_energy_pl (no gathers); seed-pinned engine agreement
+    like the LJ test above."""
+    from mcjax.models.potentials import LennardJones as _LJ
+    from mcjax.models.potentials import fit_pair_polynomial
+
+    lj = _LJ(epsilon=1.0, sigma=1.0, r_cut=2.0, shift=True)
+    r = np.linspace(0.8, 2.0, 500)
+    pp = fit_pair_polynomial(
+        r, np.asarray(lj.pair_energy(r * r)), degree=6, r_cut=2.0)
+    cfg = SimConfig(dim=2, n_atoms=25, box_length=10.0, cells_per_side=4,
+                    nmax=6, n_moves=2, beta=0.3, step_size=0.3)
+    st = init_state(cfg, seed=0)
+    k = jax.random.key(11)
+    for color in range(4):
+        a = color_substep(cfg, pp, color, st.pos, st.occ, k)
+        b = pallas_color_substep(cfg, pp, color, st.pos, st.occ, k,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=1e-5)
+        assert abs(int(a[2]) - int(b[2])) <= 1
