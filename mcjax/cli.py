@@ -597,9 +597,8 @@ def npt_main(args, cfg, pot, state) -> int:
     from mcjax.ops import npt as npt_mod
     from mcjax.utils import io
 
-    if getattr(pot, "is_mixture", False):
-        raise SystemExit("--pressure currently supports single-species "
-                         "models (NPT mixture runs: use the library API)")
+    # mixtures compose: run_npt dispatches to the species-resolved totals
+    # and mc_sweep picks color_substep_mixture automatically
     nst = npt_mod.init_npt(state)
     if args.resume:
         extras = io.load_checkpoint_extras(args.resume)

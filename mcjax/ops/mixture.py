@@ -54,13 +54,16 @@ def color_substep_mixture(cfg: SimConfig, pot, color: int,
                           pos: jax.Array, occ: jax.Array, key: jax.Array,
                           shift_fn: ShiftFn = roll_shift_fn,
                           beta: jax.Array | float | None = None,
-                          block_offset: jax.Array | None = None
+                          block_offset: jax.Array | None = None,
+                          scale: jax.Array | None = None
                           ) -> tuple[jax.Array, jax.Array, jax.Array,
                                      jax.Array]:
     """color_substep with species-resolved pair terms.
 
     pos blocks hold dim+1 planes; the species plane is frozen during moves
     (MC displacements never change identity) and re-attached on return.
+    ``scale`` applies the NPT stored-frame convention (physical
+    r^2 = scale^2 stored r^2, mcjax.ops.npt) — mixtures compose with NPT.
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     if beta is None:
@@ -85,10 +88,14 @@ def color_substep_mixture(cfg: SimConfig, pot, color: int,
     own_count = own_occ[None]
     nonempty = own_occ > 0
 
+    s2 = None if scale is None else scale * scale
+
     def energy_at(x, sx, ownp_cur, sel):
         """(energy, overlap) of a species-sx particle at x vs its ring."""
         d_own = x[:, None] - ownp_cur
         r2_own = jnp.sum(d_own * d_own, axis=0)          # [nmax, *bs]
+        if s2 is not None:
+            r2_own = s2 * r2_own
         valid_own = (slot < own_count) & ~sel
         e_o = jnp.where(valid_own,
                         pot.pair_energy_s(r2_own, sx[None], ownspec), 0.0)
@@ -96,6 +103,8 @@ def color_substep_mixture(cfg: SimConfig, pot, color: int,
 
         d_nbr = x[None, :, None] - nbrp
         r2_nbr = jnp.sum(d_nbr * d_nbr, axis=1)          # [K, nmax, *bs]
+        if s2 is not None:
+            r2_nbr = s2 * r2_nbr
         e_n = jnp.where(nbr_valid,
                         pot.pair_energy_s(r2_nbr, sx[None, None], nbrspec),
                         0.0)
@@ -160,11 +169,14 @@ def run_sweeps_mixture(cfg: SimConfig, pot, state: SimState, n_sweeps: int,
 
 def total_interaction_cells_mixture(cfg: SimConfig, pot, pos: jax.Array,
                                     occ: jax.Array,
-                                    shift_fn: ShiftFn = roll_shift_fn
+                                    shift_fn: ShiftFn = roll_shift_fn,
+                                    scale: jax.Array | None = None
                                     ) -> tuple[jax.Array, jax.Array]:
     """(total energy, any overlap) of a mixture state via cell lists —
-    the dE-trace anchor (reference technique, kernel.cu:642,672-680)."""
+    the dE-trace anchor (reference technique, kernel.cu:642,672-680).
+    ``scale`` applies the NPT stored-frame convention."""
     nmax, dim = cfg.nmax, cfg.dim
+    s2 = None if scale is None else scale * scale
     total = jnp.float32(0.0)
     any_ov = jnp.zeros((), jnp.bool_)
     for color in range(cfg.n_colors):
@@ -176,6 +188,8 @@ def total_interaction_cells_mixture(cfg: SimConfig, pot, pos: jax.Array,
         valid_i = slot < own_occ[None]
         d = min_image(ownp[:, :, None] - ownp[:, None, :], cfg.box_length)
         r2 = jnp.sum(d * d, axis=0)
+        if s2 is not None:
+            r2 = s2 * r2
         vv = (valid_i[:, None] & valid_i[None, :]
               & (jnp.arange(nmax)[:, None] != jnp.arange(nmax)[None, :]
                  ).reshape((nmax, nmax) + (1,) * len(bs)))
@@ -191,6 +205,8 @@ def total_interaction_cells_mixture(cfg: SimConfig, pot, pos: jax.Array,
         dx = min_image(ownp[None, :, :, None] - nbrp[:, :, None, :],
                        cfg.box_length)
         r2x = jnp.sum(dx * dx, axis=1)
+        if s2 is not None:
+            r2x = s2 * r2x
         vx = valid_i[None, :, None] & valid_j[:, None, :]
         ex = jnp.where(vx, pot.pair_energy_s(
             r2x, ownspec[None, :, None], nbrspec[:, None, :]), 0.0)

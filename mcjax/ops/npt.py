@@ -98,6 +98,13 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
     if shift_fn is None:
         from mcjax.ops.cells import roll_shift_fn
         shift_fn = roll_shift_fn
+    if getattr(pot, "is_mixture", False):
+        # mixtures compose: species-resolved totals + the mixture substep
+        # (mc_sweep defaults to color_substep_mixture for mixture pots)
+        from mcjax.ops.mixture import total_interaction_cells_mixture \
+            as _total_cells
+    else:
+        _total_cells = total_interaction_cells
     dim, n = cfg.dim, cfg.n_atoms
     l0 = cfg.box_length
 
@@ -116,8 +123,8 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
         )
 
     if u_old is None:
-        u_cur, _ = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
-                                           shift_fn, scale=s)
+        u_cur, _ = _total_cells(cfg, pot, sim.pos, sim.occ, shift_fn,
+                                scale=s)
         u_cur = _psum(u_cur)
     else:
         u_cur = u_old + m.delta_e
@@ -130,8 +137,8 @@ def npt_sweep(cfg: SimConfig, pot: Potential, nst: NPTState,
     s_new = s * jnp.exp(dlnv / dim)
 
     def volume_move():
-        u_new, ov_new = total_interaction_cells(cfg, pot, sim.pos, sim.occ,
-                                                shift_fn, scale=s_new)
+        u_new, ov_new = _total_cells(cfg, pot, sim.pos, sim.occ, shift_fn,
+                                     scale=s_new)
         u_new = _psum(u_new)
         ov_new = _psum(ov_new.astype(jnp.int32)) > 0 if psum_axes else ov_new
         v_old = (s * l0) ** dim
@@ -176,15 +183,20 @@ def run_npt(cfg: SimConfig, pot: Potential, nst: NPTState, pressure: float,
     ``anchor_every=k`` re-anchors the carried energy exactly every k sweeps
     (fp32 dE drift guard — SURVEY.md Q9; 0 = only the initial anchor).
     """
-    u0, _ = total_interaction_cells(cfg, pot, nst.sim.pos, nst.sim.occ,
-                                    scale=nst.scale)
+    if getattr(pot, "is_mixture", False):
+        from mcjax.ops.mixture import total_interaction_cells_mixture \
+            as _total_cells
+    else:
+        _total_cells = total_interaction_cells
+    u0, _ = _total_cells(cfg, pot, nst.sim.pos, nst.sim.occ,
+                         scale=nst.scale)
 
     def body(carry, _):
         st, u = carry
         if anchor_every:
             u = jax.lax.cond(
                 st.sim.sweep % anchor_every == 0,
-                lambda: total_interaction_cells(
+                lambda: _total_cells(
                     cfg, pot, st.sim.pos, st.sim.occ,
                     scale=jnp.exp(st.log_scale))[0],
                 lambda: u)

@@ -244,7 +244,11 @@ def mc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
     perm = jax.random.permutation(k_perm, n_colors)  # true FY (fixes Q4)
 
     if substep_fn is None:
-        substep_fn = color_substep
+        if getattr(pot, "is_mixture", False):
+            from mcjax.ops.mixture import color_substep_mixture
+            substep_fn = color_substep_mixture
+        else:
+            substep_fn = color_substep
     if shift_rebin_fn is None:
         shift_rebin_fn = cells.shift_rebin
 

@@ -55,9 +55,15 @@ def make_sharded_run_npt(cfg: SimConfig, pot: Potential, mesh: Mesh,
     sharded_names = tuple(n for n in spatial_axes if n is not None)
     shift_fn = make_halo_shift_fn(spatial_axes)
 
+    if getattr(pot, "is_mixture", False):
+        from mcjax.ops.mixture import total_interaction_cells_mixture \
+            as _total_cells
+    else:
+        _total_cells = total_interaction_cells
+
     def _anchor(pos, occ, log_scale):
-        u, _ = total_interaction_cells(cfg, pot, pos, occ, shift_fn,
-                                       scale=jnp.exp(log_scale))
+        u, _ = _total_cells(cfg, pot, pos, occ, shift_fn,
+                            scale=jnp.exp(log_scale))
         return jax.lax.psum(u, sharded_names)
 
     def local_run(pos, occ, key, sweep, overflow, log_scale):

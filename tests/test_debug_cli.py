@@ -103,6 +103,19 @@ def test_cli_exact_sweep_count_and_trace(tmp_path):
     assert [l.split(":")[0] for l in lines] == ["0", "1", "2", "3", "4"], lines
 
 
+def test_cli_npt_mixture(tmp_path):
+    # NPT composes with mixtures end-to-end: KA at P=5 runs, reports
+    # volume + energy, no overflow
+    out = run_cli("--model", "ka", "--dim", "3", "--n-atoms", "1200",
+                  "--rho", "1.2", "--n-moves", "2", "--beta", "1.25",
+                  "--sigma", "0.09", "--sweeps", "2", "--chunk", "2",
+                  "--pressure", "5.0")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "overflow False" in out.stderr
+    line = [l for l in out.stdout.splitlines() if " V " in l]
+    assert line and float(line[-1].split(" V ")[1].split()[0]) > 0
+
+
 def test_cli_table_and_morse(tmp_path):
     # tabulated pair style: LJ samples -> fitted polynomial -> short run;
     # its virial must match the analytic --model lj run on the same seed

