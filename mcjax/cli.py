@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--psi6", action="store_true",
                    help="print the global |psi_6| bond-orientational order "
                         "at the end (2D)")
+    p.add_argument("--g6", action="store_true",
+                   help="print the bond-orientational correlation g_6(r) "
+                        "histogram at the end (2D; solid const / hexatic "
+                        "r^-eta / liquid exponential — Bernard-Krauth)")
     p.add_argument("--dim", type=int, default=3)
     p.add_argument("--n-atoms", type=int, default=800)
     p.add_argument("--box", type=float, default=None,
@@ -564,6 +568,15 @@ def main(argv=None) -> int:
         r_cut = min(1.4, cfg.cell_width)
         val = float(observables.psi6_cells(cfg, state.pos, state.occ, r_cut))
         print(f"psi6 {val:.6f}")
+    if args.g6:
+        if cfg.dim != 2 or mixture:
+            raise SystemExit("--g6 is a 2D single-species observable")
+        r_cut = min(1.4, cfg.cell_width)
+        r_max = min(cfg.cell_width, cfg.box_length / 4)
+        centers, g6 = observables.psi6_correlation_cells(
+            cfg, state.pos, state.occ, 32, float(r_max), r_cut)
+        for cc, gg in zip(np.asarray(centers), np.asarray(g6)):
+            print(f"g6 {cc:.4f} {gg:.4f}")
     if args.sk is not None:
         if mixture:
             # partial S_ab(k): the chemical-ordering diagnostic

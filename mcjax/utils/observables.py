@@ -335,16 +335,11 @@ def hard_disk_eos(positions, box_length: float, diameter: float,
 
 
 @partial(jax.jit, static_argnums=(0, 3))
-def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
-               r_cut: float = 1.4) -> jax.Array:
-    """Global 2D bond-orientational order |<psi_6>| from the cell-list state.
-
-    psi_6(i) = (1/n_i) sum_j exp(6 i theta_ij) over neighbors j with
-    r_ij < r_cut (~first g(r) minimum, ~1.4 diameters). Distinguishes the
-    2D solid/hexatic (|psi_6| large) from the liquid (~0) — the order
-    parameter for the hard-disk melting study (Bernard & Krauth 2011).
-    O(N x neighborhood); usable at N >= 1M. Requires cell_width >= r_cut.
-    """
+def _psi6_field(cfg, pos: jax.Array, occ: jax.Array, r_cut: float
+                ) -> tuple[jax.Array, jax.Array]:
+    """Per-particle psi_6 on the slab layout: (re, im) [n_colors, nmax, *bs],
+    psi_6(i) = (1/n_i) sum_j exp(6 i theta_ij) over bonds r_ij < r_cut.
+    Dead slots hold 0."""
     from mcjax.ops import cells as _cells
 
     nmax, dim = cfg.nmax, cfg.dim
@@ -353,9 +348,6 @@ def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
         raise ValueError(
             f"psi_6 r_cut {r_cut} > cell_width {cfg.cell_width}: one-ring "
             "neighbor coverage would silently miss bonds (ADVICE r1)")
-    re_sum = jnp.float32(0.0)
-    im_sum = jnp.float32(0.0)
-    n_tot = jnp.sum(occ)
 
     def accumulate(dx, dy, valid):
         r2 = dx * dx + dy * dy
@@ -369,6 +361,7 @@ def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
         w = ok.astype(jnp.float32)
         return w, w * c6, w * s6
 
+    res, ims = [], []
     for color in range(cfg.n_colors):
         own = pos[color]
         own_occ = occ[color]
@@ -391,10 +384,93 @@ def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
         im_i = jnp.sum(s6, axis=1) + jnp.sum(s6n, axis=(0, 2))
         denom = jnp.maximum(n_i, 1.0)
         live = valid_i.astype(jnp.float32)
-        re_sum = re_sum + jnp.sum(live * re_i / denom)
-        im_sum = im_sum + jnp.sum(live * im_i / denom)
+        res.append(live * re_i / denom)
+        ims.append(live * im_i / denom)
+    return jnp.stack(res), jnp.stack(ims)
 
-    return jnp.sqrt(re_sum**2 + im_sum**2) / jnp.maximum(n_tot, 1)
+
+def psi6_cells(cfg, pos: jax.Array, occ: jax.Array,
+               r_cut: float = 1.4) -> jax.Array:
+    """Global 2D bond-orientational order |<psi_6>| from the cell-list state.
+
+    psi_6(i) = (1/n_i) sum_j exp(6 i theta_ij) over neighbors j with
+    r_ij < r_cut (~first g(r) minimum, ~1.4 diameters). Distinguishes the
+    2D solid/hexatic (|psi_6| large) from the liquid (~0) — the order
+    parameter for the hard-disk melting study (Bernard & Krauth 2011).
+    O(N x neighborhood); usable at N >= 1M. Requires cell_width >= r_cut.
+    """
+    re_f, im_f = _psi6_field(cfg, pos, occ, r_cut)
+    n_tot = jnp.sum(occ)
+    return jnp.sqrt(jnp.sum(re_f)**2 + jnp.sum(im_f)**2) \
+        / jnp.maximum(n_tot, 1)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def psi6_correlation_cells(cfg, pos: jax.Array, occ: jax.Array,
+                           n_bins: int, r_max: float,
+                           r_cut_bond: float = 1.4
+                           ) -> tuple[jax.Array, jax.Array]:
+    """Bond-orientational correlation g_6(r) = <psi_6(i) psi_6*(j)>_{r_ij=r}
+    (pair-averaged, real part) from the cell-list state — THE diagnostic
+    that separates the three 2D melting phases (Bernard & Krauth 2011):
+    solid g_6 -> const, hexatic g_6 ~ r^{-eta} (eta <= 1/4), liquid
+    exponential decay.  Complements the scalar |<psi_6>| (psi6_cells) the
+    melting study already reports.
+
+    Two one-ring passes: (1) the per-particle psi_6 field, (2) pair
+    binning with the (re, im) planes riding the neighbor stack exactly
+    like the mixture species plane (coordinate planes unwrap, field
+    planes pass through untouched).  Requires r_max <= cell_width.
+    O(N x neighborhood); usable at N >= 1M.
+    """
+    from mcjax.ops import cells as _cells
+
+    if r_max > cfg.cell_width + 1e-9:
+        raise ValueError(
+            f"r_max {r_max} > cell_width {cfg.cell_width}: one-ring "
+            "coverage is incomplete beyond one cell width")
+    nmax, dim = cfg.nmax, cfg.dim
+    re_f, im_f = _psi6_field(cfg, pos, occ, r_cut_bond)
+    # field rides as extra planes: [colors, dim + 2, nmax, *bs]
+    field = jnp.concatenate([pos, re_f[:, None], im_f[:, None]], axis=1)
+
+    dr = r_max / n_bins
+    corr = jnp.zeros((n_bins,), jnp.float32)
+    cnt = jnp.zeros((n_bins,), jnp.float32)
+
+    def add_pairs(corr, cnt, r2, c_ij, valid):
+        r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        inside = valid & (r2 > 1e-12) & (r < r_max)
+        bins = jnp.floor(r / dr).astype(jnp.int32).ravel()
+        w = jnp.where(inside, 0.5, 0.0).ravel()   # ordered pairs seen twice
+        corr = corr.at[bins].add(w * c_ij.ravel(), mode="drop")
+        cnt = cnt.at[bins].add(w, mode="drop")
+        return corr, cnt
+
+    for color in range(cfg.n_colors):
+        own = field[color]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        d = min_image(own[:dim, :, None] - own[:dim, None, :],
+                      box_length=cfg.box_length)
+        r2 = jnp.sum(d * d, axis=0)
+        c_ij = (own[dim, :, None] * own[dim, None, :]
+                + own[dim + 1, :, None] * own[dim + 1, None, :])
+        vv = valid_i[:, None] & valid_i[None, :]
+        corr, cnt = add_pairs(corr, cnt, r2, c_ij, vv)
+        nbr, nbr_occ = _cells.neighbor_stack(cfg, field, occ, color)
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = own[None, :dim, :, None] - nbr[:, :dim, None, :]
+        r2x = jnp.sum(dx * dx, axis=1)
+        c_ijx = (own[None, dim, :, None] * nbr[:, dim, None, :]
+                 + own[None, dim + 1, :, None] * nbr[:, dim + 1, None, :])
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        corr, cnt = add_pairs(corr, cnt, r2x, c_ijx, vx)
+
+    centers = (jnp.arange(n_bins) + 0.5) * dr
+    return centers, corr / jnp.maximum(cnt, 1.0)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5))

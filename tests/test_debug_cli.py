@@ -256,6 +256,13 @@ def test_cli_widom_psi6(tmp_path):
     assert "widom B" in out.stdout and "psi6" in out.stdout
     b = float(out.stdout.split("widom B")[1].split()[0])
     assert 0.0 <= b <= 1.0     # hard disks: B is an insertion probability
+    # g6(r) correlation rides the same run
+    out_g6 = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "128",
+                     "--phi", "0.5", "--n-moves", "2", "--sweeps", "2",
+                     "--chunk", "2", "--g6", "--quiet")
+    assert out_g6.returncode == 0, out_g6.stderr[-2000:]
+    g6_lines = [l for l in out_g6.stdout.splitlines() if l.startswith("g6 ")]
+    assert len(g6_lines) == 32
     # mixtures: species-resolved widom (one line per ghost species)
     out2 = run_cli("--model", "ka", "--dim", "3", "--n-atoms", "1200",
                    "--rho", "1.2", "--n-moves", "2", "--beta", "1.25",

@@ -322,3 +322,73 @@ def test_structure_factor_bragg_peak_on_solid():
                                           np.vstack([g_vec, generic])))
     assert s[0] > 0.9 * n, s
     assert s[1] < 0.1 * n, s
+
+
+def test_psi6_correlation_g6():
+    """g_6(r): == 1 on a commensurate triangular lattice (perfect
+    orientational order at every distance), matches a direct O(N^2) numpy
+    evaluation on a disordered configuration, and decays for a random
+    (Poisson) configuration."""
+    import jax
+
+    from mcjax.ops import cells as C
+    from mcjax.utils.observables import psi6_correlation_cells
+
+    # commensurate triangular lattice in a PERIODIC box: nx x ny rows with
+    # Ly/Lx = ny*sqrt(3)/2 / nx — use a (nearly) square commensurate box
+    a = 1.0
+    nx, ny = 16, 18              # ny*sqrt(3)/2 = 15.59 ~ nx -> near-square
+    pts = []
+    for iy in range(ny):
+        for ix in range(nx):
+            pts.append([ix * a + (iy % 2) * a / 2,
+                        iy * a * math.sqrt(3) / 2])
+    pts = np.asarray(pts, np.float64)
+    Lx, Ly = nx * a, ny * a * math.sqrt(3) / 2
+    # anisotropic box is not supported: rescale x to make the box square
+    # (an affine stretch of <4% keeps 6-fold bonds well inside r_cut=1.4)
+    L = Ly
+    pts[:, 0] *= L / Lx
+    pts = pts - L / 2
+    n = len(pts)
+    cps = int(L // 1.6) - int(L // 1.6) % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=L, cells_per_side=cps,
+                    nmax=14, n_moves=2)
+    pos, occ, ovf = C.bin_particles(cfg, jnp.asarray(pts, jnp.float32))
+    assert not bool(ovf)
+    r_max = min(cfg.cell_width, L / 4)
+    centers, g6 = psi6_correlation_cells(cfg, pos, occ, 16, float(r_max))
+    g6 = np.asarray(g6)
+    cnt_pop = g6[np.abs(g6) > 0]
+    assert cnt_pop.size >= 4
+    assert np.all(cnt_pop > 0.9), g6     # solid: g6 ~ 1 at every distance
+
+    # ---- parity vs direct numpy on a disordered configuration -----------
+    key = jax.random.key(3)
+    r = jax.random.uniform(key, (n, 2), minval=-L / 2, maxval=L / 2)
+    pos2, occ2, ovf2 = C.bin_particles(cfg, r)
+    assert not bool(ovf2)
+    n_bins = 12
+    centers2, g6_dev = psi6_correlation_cells(cfg, pos2, occ2, n_bins,
+                                              float(r_max))
+    rr = np.asarray(r, np.float64)
+    d = rr[:, None] - rr[None]
+    d -= L * np.round(d / L)
+    r2 = (d**2).sum(-1)
+    np.fill_diagonal(r2, np.inf)
+    rc = 1.4
+    psi = np.zeros(n, np.complex128)
+    for i in range(n):
+        bonds = np.where(r2[i] < rc * rc)[0]
+        if bonds.size:
+            ang = np.arctan2(d[i, bonds, 1], d[i, bonds, 0])
+            psi[i] = np.exp(6j * ang).mean()
+    dist = np.sqrt(r2)
+    dr = float(r_max) / n_bins
+    g6_ref = np.zeros(n_bins)
+    for b in range(n_bins):
+        m = (dist >= b * dr) & (dist < (b + 1) * dr)
+        if m.any():
+            pp = (psi[:, None] * np.conj(psi[None]))[m]
+            g6_ref[b] = pp.real.mean()
+    np.testing.assert_allclose(np.asarray(g6_dev), g6_ref, atol=5e-3)
