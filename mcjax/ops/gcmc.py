@@ -44,6 +44,15 @@ class GCMetrics(NamedTuple):
     capacity_rejects: jax.Array  # insertions rejected only by a full slab
 
 
+class GCMixtureMetrics(NamedTuple):
+    sweep: SweepMetrics
+    n_particles: jax.Array
+    inserted: jax.Array
+    deleted: jax.Array
+    capacity_rejects: jax.Array
+    counts: jax.Array          # [n_species] composition after the GC phase
+
+
 def _flat_view(cfg: SimConfig, pos: jax.Array, occ: jax.Array):
     """[n_cells, n_planes, nmax] / [n_cells] flat slab view (color-major,
     then row-major blocks — the layout cells._flat_slot indexes). Attribute
@@ -267,6 +276,110 @@ def _gc_color_phase(cfg: SimConfig, pot: Potential, color: int,
             jnp.sum(acc_d.astype(jnp.int32)), jnp.sum(cap.astype(jnp.int32)))
 
 
+def _gc_color_phase_mixture(cfg: SimConfig, pot, color: int,
+                            pos: jax.Array, occ: jax.Array,
+                            ln_zvs: jax.Array, key: jax.Array,
+                            beta, shift_fn, block_offset):
+    """One insert-or-delete attempt per cell for a MULTI-SPECIES state —
+    multicomponent muVT with per-species activities z_s.
+
+    Insertion proposes a uniform species (prob 1/S) at a uniform point of
+    the cell; deletion picks a uniform particle of the cell.  Detailed
+    balance of the pair then gives
+        acc_ins(s) = min(1, S z_s v/(n+1) e^{-beta dU}),
+        acc_del(i) = min(1, n/(S z_{s_i} v) e^{+beta dU}),
+    i.e. the uniform-species proposal factor S folds into the effective
+    activity and cancels between the two directions (pi is unchanged) —
+    ``ln_zvs[s]`` carries ln(S z_s v).  The subvolume-factorization
+    argument of ``_gc_color_phase`` applies verbatim; the species id rides
+    the extra coordinate plane like everywhere else (ops/mixture.py).
+
+    Returns (own_new, occ_color_new, inserted, deleted, capacity_rejects).
+    """
+    from mcjax.ops.sweep import _cell_lower_bounds
+
+    dim, nmax = cfg.dim, cfg.nmax
+    n_sp = pot.n_species
+    w = cfg.cell_width
+    own = pos[color]                        # [dim+1, nmax, *bs]
+    ownp, ownspec = own[:dim], own[dim]
+    own_occ = occ[color]                    # [*bs]
+    bs = own_occ.shape
+    nbr_all, nbr_occ = cells.neighbor_stack(cfg, pos, occ, color, shift_fn,
+                                            block_offset)
+    nbrp, nbrspec = nbr_all[:, :dim], nbr_all[:, dim]
+    lbp = _cell_lower_bounds(cfg, color, bs, block_offset)  # [dim, *bs]
+
+    k_kind, k_pt, k_pick, k_acc, k_sp = jax.random.split(key, 5)
+    do_insert = jax.random.uniform(k_kind, bs) < 0.5
+    pt = lbp + w * jax.random.uniform(k_pt, (dim, *bs))
+    pick_u = jax.random.uniform(k_pick, bs)
+    ln_u = jnp.log(jax.random.uniform(k_acc, bs, minval=1e-38, maxval=1.0))
+    s_new = jax.random.randint(k_sp, bs, 0, n_sp)           # [*bs] int32
+
+    slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+    nbr_valid = slot[None] < nbr_occ[:, None]
+    n_c = own_occ.astype(jnp.float32)
+
+    def energy_at(x, sx, sel):
+        """(dU, overlap) of a species-sx point x vs its cell ring."""
+        d_own = x[:, None] - ownp
+        r2_own = jnp.sum(d_own * d_own, axis=0)             # [nmax, *bs]
+        valid_own = (slot < own_occ[None]) & ~sel
+        e_o = jnp.where(valid_own,
+                        pot.pair_energy_s(r2_own, sx[None], ownspec), 0.0)
+        ov_o = valid_own & pot.overlap_s(r2_own, sx[None], ownspec)
+        d_nbr = x[None, :, None] - nbrp
+        r2_nbr = jnp.sum(d_nbr * d_nbr, axis=1)             # [K, nmax, *bs]
+        e_n = jnp.where(nbr_valid,
+                        pot.pair_energy_s(r2_nbr, sx[None, None], nbrspec),
+                        0.0)
+        ov_n = nbr_valid & pot.overlap_s(r2_nbr, sx[None, None], nbrspec)
+        return (jnp.sum(e_o, axis=0) + jnp.sum(e_n, axis=(0, 1)),
+                jnp.any(ov_o, axis=0) | jnp.any(ov_n, axis=(0, 1)))
+
+    no_sel = jnp.zeros((nmax,) + bs, jnp.bool_)
+    s_new_f = s_new.astype(jnp.float32)
+
+    # ---- insertion leg -----------------------------------------------------
+    du_i, ov_i = energy_at(pt, s_new_f, no_sel)
+    has_room = own_occ < nmax
+    ln_acc_i = jnp.take(ln_zvs, s_new) - jnp.log(n_c + 1.0)
+    if pot.has_energy:
+        ln_acc_i = ln_acc_i - beta * du_i
+    metro_i = ln_u < ln_acc_i
+    in_cell = jnp.all(pt < lbp + w, axis=0)   # fp sliver guard
+    acc_i = do_insert & has_room & ~ov_i & metro_i & in_cell
+    cap = do_insert & ~has_room & ~ov_i & metro_i
+
+    # ---- deletion leg ------------------------------------------------------
+    nonempty = own_occ > 0
+    p = jnp.minimum(jnp.floor(pick_u * n_c).astype(jnp.int32),
+                    jnp.maximum(own_occ - 1, 0))
+    sel = slot == p[None]                                   # [nmax, *bs]
+    cand = jnp.sum(jnp.where(sel[None], ownp, 0.0), axis=1)  # [dim, *bs]
+    s_cand = jnp.sum(jnp.where(sel, ownspec, 0.0), axis=0)   # [*bs] float
+    du_d, _ = energy_at(cand, s_cand, sel)
+    s_ci = s_cand.round().astype(jnp.int32)
+    ln_acc_d = jnp.log(jnp.maximum(n_c, 1.0)) - jnp.take(ln_zvs, s_ci)
+    if pot.has_energy:
+        ln_acc_d = ln_acc_d + beta * du_d
+    acc_d = ~do_insert & nonempty & (ln_u < ln_acc_d)
+
+    # ---- apply (at most one of acc_i/acc_d per cell) -----------------------
+    new_particle = jnp.concatenate([pt, s_new_f[None]], axis=0)
+    ins_slot = slot == jnp.minimum(own_occ, nmax - 1)[None]
+    own = jnp.where((acc_i[None] & ins_slot)[None], new_particle[:, None],
+                    own)
+    last_slot = slot == jnp.maximum(own_occ - 1, 0)[None]
+    mover = jnp.sum(jnp.where(last_slot[None], own, 0.0), axis=1)
+    own = jnp.where((acc_d[None] & sel)[None], mover[:, None], own)
+    occ_new = own_occ + acc_i.astype(jnp.int32) - acc_d.astype(jnp.int32)
+
+    return (own, occ_new, jnp.sum(acc_i.astype(jnp.int32)),
+            jnp.sum(acc_d.astype(jnp.int32)), jnp.sum(cap.astype(jnp.int32)))
+
+
 def _gc_color_phase_cb(cfg: SimConfig, pot: Potential, color: int,
                        pos: jax.Array, occ: jax.Array,
                        ln_zv: jax.Array, key: jax.Array,
@@ -412,7 +525,18 @@ def gc_phase_checkerboard(cfg: SimConfig, pot: Potential, pos: jax.Array,
         shift_fn = roll_shift_fn
     n_colors = cfg.n_colors
     vol_cell = cfg.cell_width ** cfg.dim
-    ln_zv = jnp.log(jnp.asarray(z, jnp.float32) * vol_cell)
+    mixture = getattr(pot, "is_mixture", False)
+    if mixture:
+        # per-species activities; the uniform species-proposal factor S
+        # folds into the effective ln(S z_s v) (see _gc_color_phase_mixture)
+        z_arr = jnp.asarray(z, jnp.float32).reshape(-1)
+        if n_trials > 1:
+            raise ValueError("configurational-bias trials are single-"
+                             "species only for now (n_trials=1 for "
+                             "mixtures)")
+        ln_zv = jnp.log(z_arr * vol_cell * pot.n_species)
+    else:
+        ln_zv = jnp.log(jnp.asarray(z, jnp.float32) * vol_cell)
 
     k_perm, k_sub = jax.random.split(key)
     if shard_id is not None:
@@ -420,7 +544,11 @@ def gc_phase_checkerboard(cfg: SimConfig, pot: Potential, pos: jax.Array,
     perm = jax.random.permutation(k_perm, n_colors)
 
     def branch(color: int, pos, occ, k):
-        if n_trials > 1:
+        if mixture:
+            own, occ_c, ins, dele, cap = _gc_color_phase_mixture(
+                cfg, pot, color, pos, occ, ln_zv, k, beta, shift_fn,
+                block_offset)
+        elif n_trials > 1:
             own, occ_c, ins, dele, cap = _gc_color_phase_cb(
                 cfg, pot, color, pos, occ, ln_zv, k, beta, shift_fn,
                 block_offset, n_trials)
@@ -480,10 +608,20 @@ def gcmc_sweep(cfg: SimConfig, pot: Potential, state: SimState,
                 shift_fn, block_offset, shard_id, n_trials=n_trials)
             n_ins, n_del, n_cap = n_ins + i_, n_del + d_, n_cap + c_
     else:
+        if getattr(pot, "is_mixture", False):
+            raise ValueError("mixture muVT is checkerboard-only "
+                             "(pass checkerboard=True)")
         pos, occ, n_ins, n_del, n_cap = gc_phase(
             cfg, pot, state.pos, state.occ, z, kg, n_attempts, beta)
     st = SimState(pos=pos, occ=occ, key=state.key, sweep=state.sweep,
                   overflow=state.overflow)
+    if getattr(pot, "is_mixture", False):
+        from mcjax.ops.semigrand import species_counts
+        met = GCMixtureMetrics(
+            sweep=m, n_particles=jnp.sum(occ), inserted=n_ins,
+            deleted=n_del, capacity_rejects=n_cap,
+            counts=species_counts(cfg, pot, pos, occ))
+        return st, met
     met = GCMetrics(sweep=m, n_particles=jnp.sum(occ),
                     inserted=n_ins, deleted=n_del, capacity_rejects=n_cap)
     return st, met

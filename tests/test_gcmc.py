@@ -265,6 +265,97 @@ def test_gcmc_cb_hard_disks_matches_plain_and_boosts_insertion():
     assert ins8 > 2 * ins1, (ins1, ins8)
 
 
+# ---- mixture (multicomponent) muVT ------------------------------------------
+
+def _mixture_start(cfg, frac_b=0.5, seed=0):
+    from mcjax.ops.mixture import init_mixture_state
+
+    kr, ks = jax.random.split(jax.random.PRNGKey(seed))
+    half = cfg.box_length / 2
+    r = jax.random.uniform(kr, (cfg.n_atoms, cfg.dim), minval=-half,
+                           maxval=half)
+    spec = (jax.random.uniform(ks, (cfg.n_atoms,)) < frac_b).astype(jnp.int32)
+    return init_mixture_state(cfg, r, spec)
+
+
+def test_gcmc_mixture_ideal_gas_exact():
+    """Two-species ideal mixture: <N_s> = z_s V for each species
+    independently — the per-species activities really are independent
+    thermodynamic knobs (uniform species proposal folds out exactly)."""
+    from mcjax.models.mixtures import LJMixture
+
+    cfg = SimConfig(dim=2, n_atoms=48, box_length=12.0, cells_per_side=4,
+                    nmax=14, n_moves=2, proposal="uniform", step_size=0.5,
+                    beta=1.0)
+    pot = LJMixture(epsilon=((0.0, 0.0), (0.0, 0.0)),
+                    sigma=((1.0, 1.0), (1.0, 1.0)),
+                    r_cut_table=((2.5, 2.5), (2.5, 2.5)))
+    st = _mixture_start(cfg)
+    vol = cfg.box_length ** 2
+    na_t, nb_t = 32.0, 16.0
+    z = jnp.array([na_t / vol, nb_t / vol], jnp.float32)
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 300, checkerboard=True)
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 1500, checkerboard=True)
+    counts = np.asarray(m.counts, np.float64)          # [n_sweeps, 2]
+    na, nb = counts[:, 0].mean(), counts[:, 1].mean()
+    assert abs(na - na_t) / na_t < 0.08, (na, nb)
+    assert abs(nb - nb_t) / nb_t < 0.12, (na, nb)
+    # composition identity: counts sum to the total-N metric
+    np.testing.assert_array_equal(
+        counts.sum(1), np.asarray(m.n_particles, np.float64))
+    assert int(jnp.sum(m.capacity_rejects)) == 0
+    assert int(jnp.sum(m.inserted)) > 100
+    assert int(jnp.sum(m.deleted)) > 100
+
+
+def test_gcmc_mixture_hard_disks_invariants():
+    """Interacting mixture muVT: equal activities on an asymmetric hard-disk
+    mixture must favor the small species, the species-resolved hard-core
+    invariant must survive, and the slab geometry must stay valid."""
+    from mcjax.models.mixtures import HardSphereMixture
+    from mcjax.ops import cells
+    from mcjax.ops.mixture import total_energy_mixture_n2
+
+    cfg = SimConfig(dim=2, n_atoms=40, box_length=12.0, cells_per_side=4,
+                    nmax=12, n_moves=2, proposal="uniform", step_size=0.2,
+                    beta=1.0)
+    pot = HardSphereMixture(diameter=((1.0, 0.8), (0.8, 0.6)))
+    st = _mixture_start(cfg, seed=2)
+    # purge any initial random overlaps before asserting the invariant:
+    # deletions remove them, and accepted states never re-create one
+    z = jnp.array([1.0, 1.0], jnp.float32)
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 400, checkerboard=True)
+    st, m = gcmc.run_gcmc(cfg, pot, st, z, 400, checkerboard=True)
+    counts = np.asarray(m.counts, np.float64)
+    assert counts[:, 1].mean() > counts[:, 0].mean()   # small B outnumbers A
+    occ = np.asarray(st.occ)
+    assert (occ >= 0).all() and (occ <= cfg.nmax).all()
+    n_now = int(occ.sum())
+    assert n_now == int(m.n_particles[-1])
+    flat = np.asarray(cells.unbin(cfg, st.pos, st.occ, n_out=n_now))
+    r, spec = flat[:, :2], flat[:, 2].round().astype(np.int32)
+    _, ov = total_energy_mixture_n2(pot, r, spec, cfg.box_length)
+    assert not bool(ov)
+    assert set(np.unique(spec)) <= {0, 1}
+    np.testing.assert_allclose(
+        np.bincount(spec, minlength=2).astype(np.float64),
+        np.asarray(m.counts[-1], np.float64))
+
+
+def test_gcmc_mixture_requires_checkerboard():
+    import pytest
+    from mcjax.models.mixtures import HardSphereMixture
+
+    cfg = SimConfig(dim=2, n_atoms=16, box_length=12.0, cells_per_side=4,
+                    nmax=6, n_moves=1, proposal="uniform", step_size=0.1,
+                    beta=1.0)
+    st = _mixture_start(cfg, seed=3)
+    pot = HardSphereMixture(diameter=((1.0, 0.8), (0.8, 0.6)))
+    with pytest.raises(ValueError):
+        gcmc.run_gcmc(cfg, pot, st, jnp.array([0.3, 0.3]), 2, 4,
+                      checkerboard=False)
+
+
 def test_gcmc_cb_requires_checkerboard():
     import pytest
 
