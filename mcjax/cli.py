@@ -66,9 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallel tempering with replica-exchange swaps "
                         "every --chunk sweeps")
     p.add_argument("--activity", type=float, default=None, metavar="Z",
+                   nargs="+",
                    help="muVT (grand-canonical) run at activity z = "
                         "e^{beta mu}/Lambda^d: checkerboard insertion/"
-                        "deletion phases between sweeps (mcjax.ops.gcmc)")
+                        "deletion phases between sweeps (mcjax.ops.gcmc). "
+                        "Mixture models take one value PER SPECIES "
+                        "(multicomponent muVT)")
     p.add_argument("--gc-trials", type=int, default=1, metavar="K",
                    help="configurational-bias muVT: K trial positions per "
                         "cell insertion (Rosenbluth-selected; ~K-fold hole-"
@@ -654,30 +657,52 @@ def gcmc_main(args, cfg, pot, state) -> int:
     from mcjax.ops import gcmc as gcmc_mod
     from mcjax.utils import io
 
-    if getattr(pot, "is_mixture", False):
-        raise SystemExit("--activity currently supports single-species "
-                         "models (muVT mixture runs: use the library API)")
+    mixture = getattr(pot, "is_mixture", False)
+    if mixture:
+        if len(args.activity) != pot.n_species:
+            raise SystemExit(f"--activity needs {pot.n_species} values for "
+                             f"this mixture (one per species); got "
+                             f"{len(args.activity)}")
+        z = jnp.asarray(args.activity, jnp.float32)
+        z_show = ",".join(f"{v:g}" for v in args.activity)
+    else:
+        if len(args.activity) != 1:
+            raise SystemExit("--activity takes one value for single-species "
+                             "models (per-species values are for mixtures)")
+        z = args.activity[0]
+        z_show = f"{z:g}"
     chunks = [args.chunk] * (args.sweeps // args.chunk)
     if args.sweeps % args.chunk:
         chunks.append(args.sweeps % args.chunk)
     t0 = time.perf_counter()
     ins = dele = cap = 0
-    n_hist = []
+    n_hist, c_hist = [], []
     for chunk in chunks:
-        state, m = gcmc_mod.run_gcmc(cfg, pot, state, args.activity, chunk,
+        state, m = gcmc_mod.run_gcmc(cfg, pot, state, z, chunk,
                                      args.gc_attempts, checkerboard=True,
                                      n_trials=args.gc_trials)
         ins += int(jnp.sum(m.inserted))
         dele += int(jnp.sum(m.deleted))
         cap += int(jnp.sum(m.capacity_rejects))
         n_hist.append(np.asarray(m.n_particles, np.int64))
+        if mixture:
+            c_hist.append(np.asarray(m.counts, np.int64))
         if not args.quiet:
-            print(f"{int(state.sweep)}: N {int(m.n_particles[-1])}")
+            if mixture:
+                comp = " ".join(str(int(c)) for c in m.counts[-1])
+                print(f"{int(state.sweep)}: N {int(m.n_particles[-1])} "
+                      f"[{comp}]")
+            else:
+                print(f"{int(state.sweep)}: N {int(m.n_particles[-1])}")
         if args.checkpoint:
             io.save_checkpoint(args.checkpoint, cfg, state, pot)
     dt = time.perf_counter() - t0
     n_all = np.concatenate(n_hist)
-    print(f"# muVT {int(state.sweep)} sweeps at z={args.activity}; "
+    if mixture:
+        c_mean = np.concatenate(c_hist).mean(0)
+        print("# species <N_s>: "
+              + " ".join(f"{v:.1f}" for v in c_mean), file=sys.stderr)
+    print(f"# muVT {int(state.sweep)} sweeps at z={z_show}; "
           f"<N> {n_all.mean():.1f} (start {cfg.n_atoms}); "
           f"+{ins}/-{dele} accepted, {cap} capacity rejects; "
           f"overflow {bool(state.overflow)}; {dt:.1f}s", file=sys.stderr)

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mcjax.core.config import SimConfig
 from mcjax.core.state import SimState
 from mcjax.models.potentials import Potential
-from mcjax.ops.gcmc import GCMetrics, gcmc_sweep
+from mcjax.ops.gcmc import GCMetrics, GCMixtureMetrics, gcmc_sweep
 from mcjax.ops.sweep import SweepMetrics
 from mcjax.parallel.mesh import _check_divisible, make_halo_shift_fn
 
@@ -34,8 +34,14 @@ def make_sharded_run_gcmc(cfg: SimConfig, pot: Potential, mesh: Mesh,
     """Build a jitted ``run(state) -> (state, GCMetrics)`` muVT runner over
     ``spatial_axes`` of ``mesh`` (checkerboard GC phase, ``n_attempts``
     phase repeats per sweep). Metrics come back psum'd global; shard the
-    state with ``mesh.shard_state``."""
+    state with ``mesh.shard_state``.
+
+    Mixture potentials compose directly: ``z`` is then the per-species
+    activity vector and the metrics gain a psum'd per-sweep composition
+    (``GCMixtureMetrics.counts``) — the per-cell acceptances still need no
+    global collective, species or not."""
     _check_divisible(cfg, mesh, spatial_axes)
+    mixture = getattr(pot, "is_mixture", False)
     spatial_axes = tuple(spatial_axes)
     sharded_names = tuple(n for n in spatial_axes if n is not None)
     shift_fn = make_halo_shift_fn(spatial_axes)
@@ -59,16 +65,22 @@ def make_sharded_run_gcmc(cfg: SimConfig, pot: Potential, mesh: Mesh,
                                checkerboard=True, shift_fn=shift_fn,
                                block_offset=block_offset, shard_id=shard_id,
                                substep_fn=substep_fn, n_trials=n_trials)
-            met = GCMetrics(
-                sweep=SweepMetrics(
-                    delta_e=_psum(m.sweep.delta_e),
-                    accepted=_psum(m.sweep.accepted),
-                    proposed=_psum(m.sweep.proposed),
-                    overflow=_psum(m.sweep.overflow.astype(jnp.int32)) > 0),
-                n_particles=_psum(m.n_particles),
-                inserted=_psum(m.inserted),
-                deleted=_psum(m.deleted),
-                capacity_rejects=_psum(m.capacity_rejects))
+            sm = SweepMetrics(
+                delta_e=_psum(m.sweep.delta_e),
+                accepted=_psum(m.sweep.accepted),
+                proposed=_psum(m.sweep.proposed),
+                overflow=_psum(m.sweep.overflow.astype(jnp.int32)) > 0)
+            if mixture:
+                met = GCMixtureMetrics(
+                    sweep=sm, n_particles=_psum(m.n_particles),
+                    inserted=_psum(m.inserted), deleted=_psum(m.deleted),
+                    capacity_rejects=_psum(m.capacity_rejects),
+                    counts=_psum(m.counts))
+            else:
+                met = GCMetrics(
+                    sweep=sm, n_particles=_psum(m.n_particles),
+                    inserted=_psum(m.inserted), deleted=_psum(m.deleted),
+                    capacity_rejects=_psum(m.capacity_rejects))
             return st, met
 
         overflow = jax.lax.pcast(overflow, sharded_names, to="varying")
@@ -83,9 +95,16 @@ def make_sharded_run_gcmc(cfg: SimConfig, pot: Potential, mesh: Mesh,
     sc = P()
     state_specs = SimState(pos=pos_spec, occ=occ_spec, key=sc, sweep=sc,
                            overflow=sc)
-    met_specs = GCMetrics(sweep=SweepMetrics(*(P(None),) * 4),
-                          n_particles=P(None), inserted=P(None),
-                          deleted=P(None), capacity_rejects=P(None))
+    if mixture:
+        met_specs = GCMixtureMetrics(sweep=SweepMetrics(*(P(None),) * 4),
+                                     n_particles=P(None), inserted=P(None),
+                                     deleted=P(None),
+                                     capacity_rejects=P(None),
+                                     counts=P(None, None))
+    else:
+        met_specs = GCMetrics(sweep=SweepMetrics(*(P(None),) * 4),
+                              n_particles=P(None), inserted=P(None),
+                              deleted=P(None), capacity_rejects=P(None))
 
     def body(state: SimState):
         return local_run(state.pos, state.occ, state.key, state.sweep,

@@ -358,6 +358,36 @@ def test_cli_gcmc_activity(tmp_path):
     assert (tmp_path / "gc.npz").exists()
 
 
+def test_cli_gcmc_mixture_activity(tmp_path):
+    """--activity with per-species values on a mixture routes to the
+    multicomponent muVT driver: composition trace + <N_s> summary; wrong
+    value counts are clean errors in both directions."""
+    mixfile = tmp_path / "mix.json"
+    mixfile.write_text(json.dumps({
+        "epsilon": [[0.0, 0.0], [0.0, 0.0]],
+        "sigma": [[1.0, 1.0], [1.0, 1.0]],
+        "r_cut": [[2.5, 2.5], [2.5, 2.5]]}))
+    out = run_cli("--mixture-json", str(mixfile), "--dim", "2",
+                  "--n-atoms", "48", "--box", "12.0",
+                  "--cells-per-side", "4", "--nmax", "14",
+                  "--n-moves", "2", "--beta", "1.0", "--sigma", "0.5",
+                  "--frac-b", "0.5", "--activity", "0.22", "0.11",
+                  "--sweeps", "30", "--chunk", "10")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l and l[0].isdigit()]
+    assert len(lines) == 3 and all("[" in l for l in lines)
+    assert "<N_s>" in out.stderr and "muVT" in out.stderr
+    out2 = run_cli("--mixture-json", str(mixfile), "--dim", "2",
+                   "--n-atoms", "48", "--box", "12.0",
+                   "--cells-per-side", "4", "--nmax", "14",
+                   "--activity", "0.22", "--sweeps", "2")
+    assert out2.returncode != 0 and "per species" in out2.stderr
+    out3 = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "48",
+                   "--phi", "0.2", "--activity", "0.2", "0.1",
+                   "--sweeps", "2")
+    assert out3.returncode != 0 and "one value" in out3.stderr
+
+
 def test_cli_structure_factor(tmp_path):
     out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "64",
                   "--phi", "0.40", "--n-moves", "2", "--beta", "1.0",

@@ -342,6 +342,42 @@ def test_gcmc_mixture_hard_disks_invariants():
         np.asarray(m.counts[-1], np.float64))
 
 
+def test_sharded_gcmc_mixture_ideal_gas():
+    """Multicomponent muVT composes with the mesh: per-species <N_s> = z_s V
+    on a 2x2 spatial mesh, composition counts psum'd global."""
+    from mcjax.models.mixtures import LJMixture
+    from mcjax.parallel import mesh as pmesh
+    from mcjax.parallel.gcmc import make_sharded_run_gcmc
+    from jax.sharding import Mesh
+
+    cfg = SimConfig(dim=2, n_atoms=48, box_length=16.0, cells_per_side=8,
+                    nmax=12, n_moves=2, proposal="uniform", step_size=0.5,
+                    beta=1.0)
+    pot = LJMixture(epsilon=((0.0, 0.0), (0.0, 0.0)),
+                    sigma=((1.0, 1.0), (1.0, 1.0)),
+                    r_cut_table=((2.5, 2.5), (2.5, 2.5)))
+    st = _mixture_start(cfg, seed=5)
+    vol = cfg.box_length ** 2
+    na_t, nb_t = 32.0, 16.0
+    z = jnp.array([na_t / vol, nb_t / vol], jnp.float32)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    m = Mesh(devs, ("y", "x"))
+    st = pmesh.shard_state(cfg, st, m, ("y", "x"))
+    run_eq = make_sharded_run_gcmc(cfg, pot, m, ("y", "x"), z, 300)
+    run_ms = make_sharded_run_gcmc(cfg, pot, m, ("y", "x"), z, 1200)
+    st, _ = run_eq(st)
+    st, mtr = run_ms(st)
+    counts = np.asarray(mtr.counts, np.float64)       # [n_sweeps, 2]
+    na, nb = counts[:, 0].mean(), counts[:, 1].mean()
+    assert abs(na - na_t) / na_t < 0.08, (na, nb)
+    assert abs(nb - nb_t) / nb_t < 0.12, (na, nb)
+    np.testing.assert_array_equal(
+        counts.sum(1), np.asarray(mtr.n_particles, np.float64))
+    assert int(jnp.sum(mtr.capacity_rejects)) == 0
+    assert int(jnp.sum(st.occ)) == int(mtr.n_particles[-1])
+    assert len(st.pos.sharding.device_set) == 4
+
+
 def test_gcmc_mixture_requires_checkerboard():
     import pytest
     from mcjax.models.mixtures import HardSphereMixture
