@@ -473,6 +473,132 @@ def psi6_correlation_cells(cfg, pos: jax.Array, occ: jax.Array,
     return centers, corr / jnp.maximum(cnt, 1.0)
 
 
+def _legendre_derivative_coeffs(l: int, m: int) -> np.ndarray:
+    """Ascending-power coefficients of d^m P_l / dz^m (trace-time numpy)."""
+    c = np.zeros(l + 1)
+    c[l] = 1.0
+    coeffs = np.polynomial.legendre.leg2poly(c)
+    for _ in range(m):
+        coeffs = np.polynomial.polynomial.polyder(coeffs)
+    return np.asarray(coeffs, np.float64)
+
+
+def _ql_sums(cfg, pos: jax.Array, occ: jax.Array, r_cut: float, l: int):
+    """Bond-averaged spherical-harmonic sums for the Steinhardt order
+    parameters: per-particle (sum_j Y_lm(u_ij), n_i) for m = 0..l on the
+    slab layout (negative m follow by conjugate symmetry).
+
+    Y_lm on a UNIT bond vector u = (x, y, z) factorizes polynomially:
+    Y_lm = K_lm * [d^m P_l/dz^m](z) * (x + i y)^m — the (sin theta)^m of the
+    associated Legendre function cancels against |x + i y|^m, so no
+    trigonometry is needed (the 3D generalization of _psi6_field's
+    Chebyshev chain; the Condon-Shortley sign drops out of |q_lm|^2).
+
+    Returns (re, im, n_i): re/im are [l+1, n_colors, nmax, *bs], n_i is
+    [n_colors, nmax, *bs] bond counts; dead slots hold 0.
+    """
+    from mcjax.ops import cells as _cells
+
+    nmax, dim = cfg.nmax, cfg.dim
+    assert dim == 3, "Steinhardt q_l is a 3D observable (2D: psi6_cells)"
+    if r_cut > cfg.cell_width + 1e-9:
+        raise ValueError(
+            f"q_{l} r_cut {r_cut} > cell_width {cfg.cell_width}: one-ring "
+            "neighbor coverage would silently miss bonds")
+    polys = [_legendre_derivative_coeffs(l, m) for m in range(l + 1)]
+    k_lm = [math.sqrt((2 * l + 1) / (4 * math.pi)
+                      * math.factorial(l - m) / math.factorial(l + m))
+            for m in range(l + 1)]
+
+    def horner(coeffs, z):
+        acc = jnp.full_like(z, float(coeffs[-1]))
+        for a in coeffs[-2::-1]:
+            acc = acc * z + float(a)
+        return acc
+
+    def accumulate(d, valid, reduce_axes):
+        """d: [3, ...bond shape]; returns per-m (re, im) sums over
+        reduce_axes plus the bond count."""
+        r2 = jnp.sum(d * d, axis=0)
+        ok = valid & (r2 > 1e-6) & (r2 < r_cut * r_cut)
+        inv = jax.lax.rsqrt(jnp.maximum(r2, 1e-6))
+        ux, uy, uz = d[0] * inv, d[1] * inv, d[2] * inv
+        w = ok.astype(jnp.float32)
+        res, ims = [], []
+        cr, ci = w, jnp.zeros_like(w)          # w * (ux + i uy)^m, m = 0
+        for m in range(l + 1):
+            a = k_lm[m] * horner(polys[m], uz)
+            res.append(jnp.sum(a * cr, axis=reduce_axes))
+            ims.append(jnp.sum(a * ci, axis=reduce_axes))
+            cr, ci = cr * ux - ci * uy, cr * uy + ci * ux
+        return (jnp.stack(res), jnp.stack(ims),
+                jnp.sum(w, axis=reduce_axes))
+
+    res, ims, cnts = [], [], []
+    for color in range(cfg.n_colors):
+        own = pos[color]
+        own_occ = occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        valid_i = slot < own_occ[None]
+        d = own[:dim, :, None] - own[:dim, None, :]
+        vv = valid_i[:, None] & valid_i[None, :]
+        re_c, im_c, n_c = accumulate(d, vv, reduce_axes=1)
+        nbr_pos, nbr_occ = _cells.neighbor_stack(cfg, pos, occ, color)
+        valid_j = slot[None] < nbr_occ[:, None]
+        dx = own[None, :dim, :, None] - nbr_pos[:, :dim, None, :]
+        vx = valid_i[None, :, None] & valid_j[:, None, :]
+        re_n, im_n, n_n = accumulate(jnp.moveaxis(dx, 1, 0), vx,
+                                     reduce_axes=(0, 2))
+        live = valid_i.astype(jnp.float32)
+        res.append(live * (re_c + re_n))
+        ims.append(live * (im_c + im_n))
+        cnts.append(live * (n_c + n_n))
+    return (jnp.stack(res, axis=1), jnp.stack(ims, axis=1),
+            jnp.stack(cnts, axis=0))
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def ql_cells(cfg, pos: jax.Array, occ: jax.Array, r_cut: float,
+             l: int = 6) -> jax.Array:
+    """Global Steinhardt bond-orientational order Q_l from the cell-list
+    state: Q_l = sqrt(4 pi/(2l+1) sum_m |<Y_lm>_bonds|^2), bonds r < r_cut.
+
+    The 3D solid diagnostic (Steinhardt, Nelson & Ronchetti 1983) —
+    Q6 = 0.5745 (fcc), 0.4848 (hcp), 0.5107 (bcc w/ 14 neighbors),
+    0.3536 (sc); an N-bond liquid reads ~(number of bonds)^{-1/2}.
+    O(N x neighborhood); usable at N >= 1M. Requires cell_width >= r_cut.
+    Even l only (directed bonds count twice by Y_lm(-u) = Y_lm(u)).
+    """
+    re_f, im_f, n_i = _ql_sums(cfg, pos, occ, r_cut, l)
+    n_b = jnp.maximum(jnp.sum(n_i), 1.0)
+    re_m = jnp.sum(re_f, axis=tuple(range(1, re_f.ndim))) / n_b   # [l+1]
+    im_m = jnp.sum(im_f, axis=tuple(range(1, im_f.ndim))) / n_b
+    mag2 = re_m ** 2 + im_m ** 2
+    weight = jnp.asarray([1.0] + [2.0] * l, jnp.float32)   # +/-m pairs
+    return jnp.sqrt(4 * math.pi / (2 * l + 1) * jnp.sum(weight * mag2))
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def ql_local_cells(cfg, pos: jax.Array, occ: jax.Array, r_cut: float,
+                   l: int = 6) -> tuple[jax.Array, jax.Array]:
+    """Per-particle Steinhardt q_l(i) field + its live mask:
+    q_l(i) = sqrt(4 pi/(2l+1) sum_m |q_lm(i)|^2) with q_lm(i) the
+    bond average over i's neighbors. Unlike the global Q_l this does not
+    vanish in the liquid (~0.28-0.35 for q6) — use the distribution /
+    threshold (q6 > ~0.5) as a per-particle crystallinity label.
+    Returns (field, live) both [n_colors, nmax, *bs]; dead slots 0."""
+    re_f, im_f, n_i = _ql_sums(cfg, pos, occ, r_cut, l)
+    denom = jnp.maximum(n_i, 1.0)
+    mag2 = (re_f / denom) ** 2 + (im_f / denom) ** 2
+    weight = jnp.asarray([1.0] + [2.0] * l, jnp.float32)
+    weight = weight.reshape((l + 1,) + (1,) * n_i.ndim)
+    q_i = jnp.sqrt(4 * math.pi / (2 * l + 1)
+                   * jnp.sum(weight * mag2, axis=0))
+    live = (n_i > 0).astype(jnp.float32)
+    return q_i * live, live
+
+
 @partial(jax.jit, static_argnums=(0, 1, 5))
 def widom_insertion(cfg, pot: Potential, pos: jax.Array, occ: jax.Array,
                     key: jax.Array, n_test: int,

@@ -272,6 +272,23 @@ def test_cli_widom_psi6(tmp_path):
     assert "widom0 B" in out2.stdout and "widom1 B" in out2.stdout
 
 
+def test_cli_q6_steinhardt(tmp_path):
+    """--q6 prints the 3D Steinhardt order line; 2D is a clean error."""
+    out = run_cli("--model", "lj", "--dim", "3", "--n-atoms", "1000",
+                  "--rho", "0.8", "--n-moves", "2", "--beta", "1.0",
+                  "--sigma", "0.15", "--sweeps", "4", "--chunk", "2",
+                  "--q6", "1.6", "--quiet")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("q6 ")]
+    assert len(lines) == 1
+    toks = lines[0].split()
+    q6, q4, q6l = float(toks[1]), float(toks[3]), float(toks[5])
+    assert 0.0 <= q6 <= 1.0 and 0.0 <= q4 <= 1.0 and 0.0 < q6l <= 1.0
+    out2 = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "64",
+                   "--phi", "0.3", "--sweeps", "2", "--q6", "1.4")
+    assert out2.returncode != 0 and "3D" in out2.stderr
+
+
 def test_cli_tempering_and_ensemble(tmp_path):
     out = run_cli("--model", "lj", "--dim", "3", "--n-atoms", "343",
                   "--box", "12.0", "--n-moves", "2", "--sweeps", "4",

@@ -392,3 +392,82 @@ def test_psi6_correlation_g6():
             pp = (psi[:, None] * np.conj(psi[None]))[m]
             g6_ref[b] = pp.real.mean()
     np.testing.assert_allclose(np.asarray(g6_dev), g6_ref, atol=5e-3)
+
+
+def test_steinhardt_ql_lattice_constants():
+    """Global Q4/Q6 hit the Steinhardt-Nelson-Ronchetti closed forms on
+    perfect periodic lattices: sc (6 bonds) Q4=0.76376/Q6=0.35355,
+    fcc (12 bonds) Q4=0.19094/Q6=0.57452, bcc (14 bonds, first+second
+    shell) Q4=0.03637/Q6=0.51069 — four constants x three lattices pin the
+    K_lm normalization, the Legendre-derivative polynomials, and the
+    +/-m conjugate weighting."""
+    from mcjax.ops import cells as C
+    from mcjax.utils.observables import ql_cells, ql_local_cells
+
+    def slab_from(points, L, cps, nmax):
+        n = len(points)
+        cfg = SimConfig(dim=3, n_atoms=n, box_length=L, cells_per_side=cps,
+                        nmax=nmax, n_moves=2)
+        pos, occ, ovf = C.bin_particles(cfg, jnp.asarray(points, jnp.float32))
+        assert not bool(ovf)
+        return cfg, pos, occ
+
+    # simple cubic: 8^3 sites, a = 1
+    c, a = 8, 1.0
+    g = np.arange(c) * a
+    sc = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    sc = sc + 0.25 * a - c * a / 2
+    cfg, pos, occ = slab_from(sc, c * a, 4, 12)
+    assert abs(float(ql_cells(cfg, pos, occ, 1.2, 6)) - 0.35355) < 2e-3
+    assert abs(float(ql_cells(cfg, pos, occ, 1.2, 4)) - 0.76376) < 2e-3
+
+    # fcc: 4^3 conventional cells, a = 2 (NN a/sqrt2 = 1.414; rc 1.7 < a)
+    c, a = 4, 2.0
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    g = np.arange(c)
+    cell = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    fcc = ((cell[:, None] + base[None]).reshape(-1, 3)) * a
+    fcc = fcc + 0.25 * a - c * a / 2
+    cfg, pos, occ = slab_from(fcc, c * a, 4, 12)
+    assert abs(float(ql_cells(cfg, pos, occ, 1.7, 6)) - 0.57452) < 2e-3
+    assert abs(float(ql_cells(cfg, pos, occ, 1.7, 4)) - 0.19094) < 2e-3
+    # perfect crystal: every live particle's local q6 equals the global
+    q_i, live = ql_local_cells(cfg, pos, occ, 1.7, 6)
+    vals = np.asarray(q_i)[np.asarray(live) > 0]
+    np.testing.assert_allclose(vals, 0.57452, atol=2e-3)
+
+    # bcc: 6^3 conventional cells, a = 1.5; rc 1.1a spans both shells
+    c, a = 6, 1.5
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0.5]])
+    g = np.arange(c)
+    cell = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    bcc = ((cell[:, None] + base[None]).reshape(-1, 3)) * a
+    bcc = bcc + 0.25 * a - c * a / 2
+    cfg, pos, occ = slab_from(bcc, c * a, 4, 16)
+    assert abs(float(ql_cells(cfg, pos, occ, 1.1 * a, 6)) - 0.51069) < 2e-3
+    assert abs(float(ql_cells(cfg, pos, occ, 1.1 * a, 4)) - 0.03637) < 2e-3
+
+
+def test_steinhardt_ql_liquid_vs_solid():
+    """Q6 of a random (Poisson) gas decays as ~bonds^{-1/2} while the local
+    q6(i) distribution sits near the known liquid value (~0.2-0.45) —
+    and r_cut > cell_width is a hard error, not silent bond loss."""
+    import pytest
+
+    from mcjax.ops import cells as C
+    from mcjax.utils.observables import ql_cells, ql_local_cells
+
+    n, L = 512, 10.0
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    cfg = SimConfig(dim=3, n_atoms=n, box_length=L, cells_per_side=4,
+                    nmax=24, n_moves=2)
+    pos, occ, ovf = C.bin_particles(cfg, jnp.asarray(pts))
+    assert not bool(ovf)
+    q6 = float(ql_cells(cfg, pos, occ, 1.6, 6))
+    assert q6 < 0.12, q6          # ~1/sqrt(n_bonds) ~ 0.03 at ~3400 bonds
+    q_i, live = ql_local_cells(cfg, pos, occ, 1.6, 6)
+    vals = np.asarray(q_i)[np.asarray(live) > 0]
+    assert 0.15 < vals.mean() < 0.5, vals.mean()
+    with pytest.raises(ValueError):
+        ql_cells(cfg, pos, occ, 3.0, 6)
