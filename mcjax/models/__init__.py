@@ -1,3 +1,9 @@
+from mcjax.models.fields import (
+    CompositeField,
+    HarmonicTrap,
+    LinearField,
+    SlitWalls,
+)
 from mcjax.models.potentials import (
     HardSphere,
     LennardJones,
@@ -18,4 +24,8 @@ __all__ = [
     "SquareWell",
     "Yukawa",
     "pair_interaction",
+    "HarmonicTrap",
+    "LinearField",
+    "SlitWalls",
+    "CompositeField",
 ]

@@ -1,3 +1,5 @@
-from mcjax.ops import cells, cluster, ecmc, pallas_sweep, semigrand, sweep
+from mcjax.ops import (cells, cluster, ecmc, extfield, pallas_sweep,
+                       semigrand, sweep)
 
-__all__ = ["cells", "cluster", "ecmc", "pallas_sweep", "semigrand", "sweep"]
+__all__ = ["cells", "cluster", "ecmc", "extfield", "pallas_sweep",
+           "semigrand", "sweep"]

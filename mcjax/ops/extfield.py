@@ -1,0 +1,161 @@
+"""External-field (confined / driven) runs: frame bookkeeping + drivers.
+
+The sweep engine's random grid shift re-expresses every stored coordinate
+in a drifting frame (shifting the cell grid by +d subtracts d from every
+coordinate, ops/cells.py _shift_rebin_axis) — harmless for the
+translation-invariant bulk the reference simulates (kernel.cu:683-687),
+but a one-body field lives at ABSOLUTE positions. These drivers carry the
+cumulative frame ``origin``: physical x = wrap(stored + origin), updated
+in lockstep with the sweep's own shift draws (the schedule randomness
+derives deterministically from (key, sweep), the same property that keeps
+it shard-invariant — mc_sweep's docstring).
+
+The field's dE folds into the Metropolis test inside color_substep, so
+the dE-anchor identity extends: energy trace == pair total + field total
+(tests/test_extfield.py pins this over many shifted sweeps, which would
+catch any drift-bookkeeping error by telescoping).
+
+XLA engine only for now; the Pallas kernel's field term is a round-4
+item (docs/ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mcjax.core.config import SimConfig
+from mcjax.core.geometry import wrap_into_box
+from mcjax.core.state import SimState
+from mcjax.models.potentials import Potential
+from mcjax.ops import cells
+from mcjax.ops.sweep import SweepMetrics, color_substep, mc_sweep
+
+
+def physical_positions(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
+                       origin: jax.Array, n_out: int | None = None
+                       ) -> jax.Array:
+    """Unbin to [n_out, dim] ABSOLUTE coordinates (stored frame + origin,
+    wrapped) — what field-aware observables and dumps should consume."""
+    r = cells.unbin(cfg, pos, occ, n_out=n_out)
+    return wrap_into_box(r + origin[None, :], cfg.box_length)
+
+
+def total_field_energy_cells(cfg: SimConfig, field, pos: jax.Array,
+                             occ: jax.Array, origin: jax.Array) -> jax.Array:
+    """Sum of the one-body field energy over all live particles."""
+    dim, nmax = cfg.dim, cfg.nmax
+    e = jnp.float32(0.0)
+    for color in range(cfg.n_colors):
+        own, own_occ = pos[color][:dim], occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        live = (slot < own_occ[None]).astype(jnp.float32)
+        px = wrap_into_box(
+            own + origin.reshape((dim,) + (1,) * (own.ndim - 1)),
+            cfg.box_length)
+        e = e + jnp.sum(live * field.energy(px))
+    return e
+
+
+def field_violations(cfg: SimConfig, field, pos: jax.Array, occ: jax.Array,
+                     origin: jax.Array) -> jax.Array:
+    """Number of live particles inside the field's forbidden region
+    (must stay 0 through a run that started valid)."""
+    dim, nmax = cfg.dim, cfg.nmax
+    n = jnp.int32(0)
+    for color in range(cfg.n_colors):
+        own, own_occ = pos[color][:dim], occ[color]
+        bs = own_occ.shape
+        slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+        live = slot < own_occ[None]
+        px = wrap_into_box(
+            own + origin.reshape((dim,) + (1,) * (own.ndim - 1)),
+            cfg.box_length)
+        n = n + jnp.sum((live & field.forbidden(px)).astype(jnp.int32))
+    return n
+
+
+def field_sweep(cfg: SimConfig, pot: Potential, field, state: SimState,
+                origin: jax.Array, beta: jax.Array | float | None = None
+                ) -> tuple[SimState, jax.Array, SweepMetrics]:
+    """One full MC sweep under ``field``; returns the advanced frame origin.
+
+    The origin update mirrors mc_sweep's shift derivation exactly (same
+    fold_in/split tree): the grid shift subtracts d from the stored ``axis``
+    coordinates, so the frame origin gains +d. The dE-anchor test pins
+    this coupling bitwise — any divergence breaks telescoping immediately.
+    """
+    if getattr(pot, "is_mixture", False):
+        raise NotImplementedError("external fields + mixtures: pending")
+
+    def substep(cfg_, pot_, color, pos, occ, k, shift_fn, beta_,
+                block_offset):
+        return color_substep(cfg_, pot_, color, pos, occ, k, shift_fn,
+                             beta_, block_offset, field=field, origin=origin)
+
+    new_state, m = mc_sweep(cfg, pot, state, beta=beta, substep_fn=substep)
+
+    key_sweep = jax.random.fold_in(state.key, state.sweep)
+    _, k_axis, k_dist, _ = jax.random.split(key_sweep, 4)
+    axis = jax.random.randint(k_axis, (), 0, cfg.dim)
+    d = jax.random.uniform(k_dist, (), minval=-cfg.cell_width / 2.0,
+                           maxval=cfg.cell_width / 2.0)
+    do_shift = (state.sweep + 1) % cfg.shift_every == 0
+    step = jnp.where(do_shift, d, 0.0)
+    origin = origin + step * (jnp.arange(cfg.dim) == axis)
+    origin = wrap_into_box(origin, cfg.box_length)
+    return new_state, origin, m
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 5))
+def run_field_sweeps(cfg: SimConfig, pot: Potential, field, state: SimState,
+                     origin: jax.Array, n_sweeps: int,
+                     beta: jax.Array | None = None
+                     ) -> tuple[SimState, jax.Array, SweepMetrics]:
+    """n_sweeps field-aware sweeps as one scan; per-sweep stacked metrics.
+
+    The metric's delta_e includes the field's one-body dE, so
+    energy_trace anchors against total_interaction_cells +
+    total_field_energy_cells."""
+
+    def body(carry, _):
+        st, org = carry
+        st, org, m = field_sweep(cfg, pot, field, st, org, beta)
+        return (st, org), m
+
+    (state, origin), ms = jax.lax.scan(body, (state, origin),
+                                       length=n_sweeps)
+    return state, origin, ms
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 5, 6))
+def run_field_sweeps_record(cfg: SimConfig, pot: Potential, field,
+                            state: SimState, origin: jax.Array,
+                            n_frames: int, sweeps_per_frame: int,
+                            beta: jax.Array | None = None
+                            ) -> tuple[SimState, jax.Array, jax.Array,
+                                       SweepMetrics]:
+    """Frame-recording variant: [n_frames, n_atoms, dim] PHYSICAL
+    trajectory stacked on device (the frames already fold the frame origin
+    in, unlike run_sweeps_record's stored-frame output)."""
+
+    def frame_body(carry, _):
+        st, org = carry
+
+        def body(c, _):
+            s, o, m = field_sweep(cfg, pot, field, c[0], c[1], beta)
+            return (s, o), m
+
+        (st, org), ms = jax.lax.scan(body, (st, org),
+                                     length=sweeps_per_frame)
+        frame = physical_positions(cfg, st.pos, st.occ, org)
+        agg = SweepMetrics(jnp.sum(ms.delta_e), jnp.sum(ms.accepted),
+                           jnp.sum(ms.proposed), jnp.any(ms.overflow))
+        return (st, org), (frame, agg)
+
+    (state, origin), (frames, metrics) = jax.lax.scan(
+        frame_body, (state, origin), length=n_frames)
+    return state, origin, frames, metrics

@@ -107,7 +107,9 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
                   shift_fn: ShiftFn = roll_shift_fn,
                   beta: jax.Array | float | None = None,
                   block_offset: jax.Array | None = None,
-                  scale: jax.Array | None = None
+                  scale: jax.Array | None = None,
+                  field=None,
+                  origin: jax.Array | None = None
                   ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run n_M Metropolis trial moves in every cell of one checkerboard color.
 
@@ -119,6 +121,10 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     shard's global block offset under domain sharding. ``scale`` (traced) is
     the NPT box-scale factor: coordinates live in the stored frame (static
     cell geometry) and physical r^2 = scale^2 * stored r^2 (mcjax.ops.npt).
+    ``field`` (static, models/fields.py) adds a one-body external term
+    evaluated at physical x = wrap(stored + ``origin``) — the frame offset
+    the grid shift accumulates (mcjax.ops.extfield owns it); its dE folds
+    into the Metropolis test, the metric, and forbidden-region rejection.
 
     Returns: (new own-color block [dim, nmax, *bs], dE scalar, accepted, proposed).
     """
@@ -133,8 +139,14 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
     lbp = _cell_lower_bounds(cfg, color, bs, block_offset)  # [dim, *bs]
     w = cfg.cell_width
 
+    has_energy = pot.has_energy or (field is not None and field.has_energy)
     pick_u, dispp, acc_u = substep_randoms(cfg, key, bs,
-                                           need_acc=pot.has_energy)
+                                           need_acc=has_energy)
+    org = None
+    if field is not None:
+        if origin is None:
+            origin = jnp.zeros((dim,), jnp.float32)
+        org = origin.reshape((dim,) + (1,) * len(bs))
 
     # Everything is already in coordinate-planes layout: trailing axes = the
     # cell grid, so the big spatial extent sits on the TPU lane/sublane dims
@@ -195,11 +207,19 @@ def color_substep(cfg: SimConfig, pot: Potential, color: int,
         e_new, ov_new = energy_at(new, ownp_cur, sel)
         de = e_new - e_old
 
-        if pot.has_energy:
+        banned = jnp.zeros_like(oob)
+        if field is not None:
+            px_old = cells.wrap_into_box(old + org, cfg.box_length)
+            px_new = cells.wrap_into_box(new + org, cfg.box_length)
+            if field.has_energy:
+                de = de + field.energy(px_new) - field.energy(px_old)
+            banned = field.forbidden(px_new)
+
+        if has_energy:
             metro = acc_u[m] < jnp.exp(-beta * de)
         else:
             metro = jnp.ones_like(oob)  # pure hard-core: dE == 0
-        accept = nonempty & ~oob & ~ov_new & metro
+        accept = nonempty & ~oob & ~ov_new & ~banned & metro
 
         upd = accept[None] & sel                          # [nmax, *bs]
         ownp_cur = jnp.where(upd[None], new[:, None], ownp_cur)
