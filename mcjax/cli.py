@@ -158,6 +158,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="geometric cluster moves per chunk (Dress-Krauth "
                         "hard-core GCA / Liu-Luijten energetic bonds; "
                         "rejection-free pivot reflections — ops/cluster.py)")
+    p.add_argument("--trap", type=str, default=None, metavar="K[,KY,...]",
+                   help="harmonic trap at the origin: scalar or per-axis "
+                        "stiffness (one-body field; ops/extfield.py driver)")
+    p.add_argument("--gravity", type=float, default=None, metavar="G",
+                   help="linear one-body field g*x along --field-axis "
+                        "(pair with --walls on the same axis: sedimentation)")
+    p.add_argument("--species-gravity", type=str, default=None,
+                   metavar="G0,G1,...",
+                   help="per-species gravity couplings (mixtures only — "
+                        "sedimentation fractionation)")
+    p.add_argument("--walls", type=str, default=None,
+                   metavar="LO,HI[,DIAM...]",
+                   help="hard slit walls on --field-axis; optional contact "
+                        "diameter (one value, or one per species for "
+                        "mixtures)")
+    p.add_argument("--field-axis", type=int, default=None,
+                   help="axis for --gravity/--walls (default: last axis)")
     p.add_argument("--gr", action="store_true",
                    help="print g(r) histogram at the end (cell-list pass at "
                         "large N, O(N^2) pass at small N)")
@@ -183,6 +200,40 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load SimConfig fields from a JSON or YAML file")
     p.add_argument("--quiet", action="store_true")
     return p
+
+
+def field_from_args(args, dim: int, mixture: bool):
+    """Build the one-body external field from --trap/--gravity/--walls
+    (None when no field flag is given). Composes via CompositeField."""
+    from mcjax.models.fields import (CompositeField, HarmonicTrap,
+                                     LinearField, SlitWalls, SpeciesField)
+    fs = []
+    axis = args.field_axis if args.field_axis is not None else dim - 1
+    if args.trap is not None:
+        k = tuple(float(v) for v in args.trap.split(","))
+        fs.append(HarmonicTrap(stiffness=k if len(k) > 1 else k[0], dim=dim))
+    if args.species_gravity is not None:
+        if not mixture:
+            raise SystemExit("--species-gravity needs a mixture model "
+                             "(single species: --gravity)")
+        g = tuple(float(v) for v in args.species_gravity.split(","))
+        fs.append(SpeciesField(LinearField(g=1.0, axis=axis), g))
+    elif args.gravity is not None:
+        fs.append(LinearField(g=args.gravity, axis=axis))
+    if args.walls is not None:
+        parts = [float(v) for v in args.walls.split(",")]
+        if len(parts) < 2:
+            raise SystemExit("--walls needs LO,HI[,DIAM...]")
+        lo, hi, diams = parts[0], parts[1], parts[2:]
+        if len(diams) > 1:
+            fs.append(SlitWalls(lo=lo, hi=hi, axis=axis,
+                                diameters=tuple(diams)))
+        else:
+            fs.append(SlitWalls(lo=lo, hi=hi, axis=axis,
+                                diameter=diams[0] if diams else 0.0))
+    if not fs:
+        return None
+    return fs[0] if len(fs) == 1 else CompositeField(tuple(fs))
 
 
 def potential_from_args(args):
@@ -366,9 +417,20 @@ def main(argv=None) -> int:
             state = init_state(cfg)
 
     mixture = getattr(pot, "is_mixture", False)
+    field = field_from_args(args, cfg.dim, mixture)
 
     # ---- ensemble branches (reference UX: recompile kernel.cu; mcjax UX:
     # one flag routes to the matching library driver) -----------------------
+    if field is not None and (args.betas is not None
+                              or args.replicas is not None
+                              or args.pressure is not None
+                              or args.activity is not None
+                              or args.delta_mu is not None
+                              or args.ecmc or args.clusters
+                              or args.tune_acceptance is not None):
+        raise SystemExit("external fields run the plain NVT driver only "
+                         "(no tempering/NPT/muVT/semi-grand/ECMC/cluster/"
+                         "tuning composition yet)")
     if args.betas is not None or args.replicas is not None:
         return tempering_main(args, cfg, pot)
     if args.pressure is not None:
@@ -381,8 +443,12 @@ def main(argv=None) -> int:
     engine = args.engine
     if engine == "auto":
         from mcjax.ops.pallas_sweep import recommended_engine
-        engine = recommended_engine(cfg)
+        engine = "xla" if field is not None else recommended_engine(cfg)
         print(f"# engine: {engine}", file=sys.stderr)
+    if field is not None and engine == "pallas":
+        raise SystemExit("external fields run on the XLA engine only "
+                         "(--engine xla; the Pallas field term is a "
+                         "roadmap item)")
     if engine == "pallas":
         from functools import partial
 
@@ -393,6 +459,30 @@ def main(argv=None) -> int:
         from mcjax.ops.mixture import run_sweeps_mixture as runner
     else:
         runner = run_sweeps
+
+    origin = None
+    if field is not None:
+        from mcjax.ops import extfield
+
+        origin = jnp.zeros((cfg.dim,), jnp.float32)
+        if args.resume:
+            extras = io.load_checkpoint_extras(args.resume)
+            if "origin" in extras:
+                # the frame origin is part of the physics under a field: a
+                # zero-reset would silently translate the field
+                origin = jnp.asarray(extras["origin"], jnp.float32)
+        n_bad = int(extfield.field_violations(cfg, field, state.pos,
+                                              state.occ, origin))
+        if n_bad:
+            print(f"# WARNING: {n_bad} particles start inside the field's "
+                  "forbidden region (walls); they may stay trapped there",
+                  file=sys.stderr)
+
+        def runner(cfg_, pot_, st_, n_):
+            nonlocal origin
+            st_, origin, m_ = extfield.run_field_sweeps(cfg_, pot_, field,
+                                                        st_, origin, n_)
+            return st_, m_
 
     if args.tune_acceptance is not None:
         from mcjax.utils.tuning import tune_step_size
@@ -406,9 +496,15 @@ def main(argv=None) -> int:
     def exact_energy(st):
         if mixture:
             from mcjax.ops.mixture import total_interaction_cells_mixture
-            return float(total_interaction_cells_mixture(
+            e_pair = float(total_interaction_cells_mixture(
                 cfg, pot, st.pos, st.occ)[0])
-        return float(total_energy_cells(cfg, pot, st.pos, st.occ))
+        else:
+            e_pair = float(total_energy_cells(cfg, pot, st.pos, st.occ))
+        if field is not None and field.has_energy:
+            from mcjax.ops import extfield
+            e_pair += float(extfield.total_field_energy_cells(
+                cfg, field, st.pos, st.occ, origin))
+        return e_pair
 
     e = exact_energy(state)
     if not args.quiet:
@@ -479,7 +575,15 @@ def main(argv=None) -> int:
         if not args.quiet and not args.trace_every:
             print(f"{int(state.sweep)}: {e:.6f}")
         if args.dump and (c + 1) % args.dump_every == 0:
-            if mixture:
+            if field is not None:
+                # fields live at PHYSICAL coordinates: fold the frame origin
+                from mcjax.ops import extfield
+                fr = np.asarray(extfield.physical_positions(
+                    cfg, state.pos, state.occ, origin))
+                frames.append(fr[:, :cfg.dim])
+                if mixture:
+                    frame_types.append(fr[:, cfg.dim].astype(np.int32) + 1)
+            elif mixture:
                 from mcjax.ops.mixture import unbin_mixture
                 rr, ss = unbin_mixture(cfg, state.pos, state.occ)
                 frames.append(np.asarray(rr))
@@ -488,7 +592,9 @@ def main(argv=None) -> int:
                 frames.append(np.asarray(cells.unbin(cfg, state.pos,
                                                      state.occ)))
         if args.checkpoint:
-            io.save_checkpoint(args.checkpoint, cfg, state, pot)
+            io.save_checkpoint(args.checkpoint, cfg, state, pot,
+                               extra_arrays=({"origin": origin}
+                                             if field is not None else None))
     dt = time.perf_counter() - t_start
 
     if args.stats and e_trace:

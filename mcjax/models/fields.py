@@ -13,6 +13,15 @@ that bookkeeping.
 
 All fields are frozen, hashable dataclasses (static jit args) with tuple
 parameters, like the pair potentials (models/potentials.py).
+
+Species coupling (mixtures): a field may additionally define
+``energy_s(x, s)`` / ``forbidden_s(x, s)`` taking the per-particle float
+species id ``s`` (broadcast against ``x[axis]``'s shape) — the mixture
+sweep engine prefers those and falls back to the species-blind methods
+(``species_energy`` / ``species_forbidden`` below implement the fallback).
+``SpeciesField`` wraps any base field with per-species coupling constants
+(e.g. gravity with per-species buoyant mass — sedimentation
+fractionation); ``SlitWalls`` takes per-species contact ``diameters``.
 """
 
 from __future__ import annotations
@@ -20,6 +29,30 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+
+
+def species_energy(field, x, s=None):
+    """field's one-body energy, species-resolved when both the field and the
+    caller support it (the mixture engine's dispatch point)."""
+    if s is not None and hasattr(field, "energy_s"):
+        return field.energy_s(x, s)
+    return field.energy(x)
+
+
+def species_forbidden(field, x, s=None):
+    """field's forbidden-region indicator, species-resolved when possible."""
+    if s is not None and hasattr(field, "forbidden_s"):
+        return field.forbidden_s(x, s)
+    return field.forbidden(x)
+
+
+def _select_by_species(values: tuple, s):
+    """sum_k values[k] * [s == k] — branch-free per-particle table lookup
+    (species counts are tiny; a masked polynomial beats a gather on TPU)."""
+    out = 0.0
+    for k, v in enumerate(values):
+        out = out + v * (s == float(k))
+    return out
 
 
 def _as_tuple(v, dim: int) -> tuple:
@@ -84,13 +117,22 @@ class SlitWalls:
     """Hard walls at x_axis = lo and x_axis = hi: particle CENTERS outside
     [lo + diameter/2, hi - diameter/2] are forbidden (zero energy inside —
     a slit pore). Start configurations must already satisfy the constraint
-    (like hard-core overlaps, forbidden states are never re-created)."""
+    (like hard-core overlaps, forbidden states are never re-created).
+
+    ``diameters`` (optional per-species tuple) overrides ``diameter`` for
+    mixture runs: species k's center must stay diameters[k]/2 off each wall.
+    """
     lo: float
     hi: float
     axis: int = 0
     diameter: float = 0.0
+    diameters: tuple = ()
 
     has_energy = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "diameters",
+                           tuple(float(d) for d in self.diameters))
 
     def energy(self, x):
         return jnp.zeros(x.shape[1:], jnp.float32)
@@ -98,6 +140,46 @@ class SlitWalls:
     def forbidden(self, x):
         h = 0.5 * self.diameter
         return (x[self.axis] < self.lo + h) | (x[self.axis] > self.hi - h)
+
+    def forbidden_s(self, x, s):
+        if not self.diameters:
+            return self.forbidden(x)
+        h = 0.5 * _select_by_species(self.diameters, s)
+        return (x[self.axis] < self.lo + h) | (x[self.axis] > self.hi - h)
+
+
+@dataclass(frozen=True)
+class SpeciesField:
+    """Per-species coupling on a base field: u_k(x) = couplings[k] * u(x)
+    (e.g. LinearField gravity with per-species buoyant masses — colloidal
+    sedimentation fractionation). Mixture runs only: the species-blind
+    ``energy`` raises, so accidentally feeding this to the single-species
+    engine fails loudly instead of averaging the couplings away."""
+    base: object
+    couplings: tuple
+
+    def __post_init__(self):
+        object.__setattr__(self, "couplings",
+                           tuple(float(c) for c in self.couplings))
+        if not self.base.has_energy:
+            raise ValueError("SpeciesField scales an energy; base field "
+                             "has none (walls: use SlitWalls.diameters)")
+
+    has_energy = True
+
+    def energy(self, x):
+        raise TypeError("SpeciesField is species-resolved; run it through "
+                        "the mixture engine (ops/extfield.py with a mixture "
+                        "potential)")
+
+    def energy_s(self, x, s):
+        return _select_by_species(self.couplings, s) * self.base.energy(x)
+
+    def forbidden(self, x):
+        return self.base.forbidden(x)
+
+    def forbidden_s(self, x, s):
+        return species_forbidden(self.base, x, s)
 
 
 @dataclass(frozen=True)
@@ -120,8 +202,21 @@ class CompositeField:
                 e = e + f.energy(x)
         return e
 
+    def energy_s(self, x, s):
+        e = jnp.zeros(x.shape[1:], jnp.float32)
+        for f in self.fields:
+            if f.has_energy:
+                e = e + species_energy(f, x, s)
+        return e
+
     def forbidden(self, x):
         bad = jnp.zeros(x.shape[1:], jnp.bool_)
         for f in self.fields:
             bad = bad | f.forbidden(x)
+        return bad
+
+    def forbidden_s(self, x, s):
+        bad = jnp.zeros(x.shape[1:], jnp.bool_)
+        for f in self.fields:
+            bad = bad | species_forbidden(f, x, s)
         return bad

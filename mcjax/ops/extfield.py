@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from mcjax.core.config import SimConfig
 from mcjax.core.geometry import wrap_into_box
 from mcjax.core.state import SimState
+from mcjax.models import fields
 from mcjax.models.potentials import Potential
 from mcjax.ops import cells
 from mcjax.ops.sweep import SweepMetrics, color_substep, mc_sweep
@@ -37,26 +38,43 @@ from mcjax.ops.sweep import SweepMetrics, color_substep, mc_sweep
 def physical_positions(cfg: SimConfig, pos: jax.Array, occ: jax.Array,
                        origin: jax.Array, n_out: int | None = None
                        ) -> jax.Array:
-    """Unbin to [n_out, dim] ABSOLUTE coordinates (stored frame + origin,
-    wrapped) — what field-aware observables and dumps should consume."""
+    """Unbin to [n_out, planes] ABSOLUTE coordinates (stored frame + origin,
+    wrapped) — what field-aware observables and dumps should consume.
+    Mixture states keep their trailing species column untouched (only the
+    first ``dim`` columns are coordinates)."""
     r = cells.unbin(cfg, pos, occ, n_out=n_out)
-    return wrap_into_box(r + origin[None, :], cfg.box_length)
+    coords = wrap_into_box(r[:, :cfg.dim] + origin[None, :], cfg.box_length)
+    if r.shape[1] > cfg.dim:
+        return jnp.concatenate([coords, r[:, cfg.dim:]], axis=1)
+    return coords
+
+
+def _physical_planes(cfg: SimConfig, pos: jax.Array, origin: jax.Array,
+                     color: int):
+    """(physical coords [dim, nmax, *bs], species plane or None) of one
+    color block — species-aware iff the block carries extra planes."""
+    dim = cfg.dim
+    own = pos[color]
+    px = wrap_into_box(
+        own[:dim] + origin.reshape((dim,) + (1,) * (own.ndim - 1)),
+        cfg.box_length)
+    spec = own[dim] if own.shape[0] > dim else None
+    return px, spec
 
 
 def total_field_energy_cells(cfg: SimConfig, field, pos: jax.Array,
                              occ: jax.Array, origin: jax.Array) -> jax.Array:
-    """Sum of the one-body field energy over all live particles."""
-    dim, nmax = cfg.dim, cfg.nmax
+    """Sum of the one-body field energy over all live particles
+    (species-resolved for mixture states carrying a species plane)."""
+    nmax = cfg.nmax
     e = jnp.float32(0.0)
     for color in range(cfg.n_colors):
-        own, own_occ = pos[color][:dim], occ[color]
+        own_occ = occ[color]
         bs = own_occ.shape
         slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
         live = (slot < own_occ[None]).astype(jnp.float32)
-        px = wrap_into_box(
-            own + origin.reshape((dim,) + (1,) * (own.ndim - 1)),
-            cfg.box_length)
-        e = e + jnp.sum(live * field.energy(px))
+        px, spec = _physical_planes(cfg, pos, origin, color)
+        e = e + jnp.sum(live * fields.species_energy(field, px, spec))
     return e
 
 
@@ -64,17 +82,16 @@ def field_violations(cfg: SimConfig, field, pos: jax.Array, occ: jax.Array,
                      origin: jax.Array) -> jax.Array:
     """Number of live particles inside the field's forbidden region
     (must stay 0 through a run that started valid)."""
-    dim, nmax = cfg.dim, cfg.nmax
+    nmax = cfg.nmax
     n = jnp.int32(0)
     for color in range(cfg.n_colors):
-        own, own_occ = pos[color][:dim], occ[color]
+        own_occ = occ[color]
         bs = own_occ.shape
         slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
         live = slot < own_occ[None]
-        px = wrap_into_box(
-            own + origin.reshape((dim,) + (1,) * (own.ndim - 1)),
-            cfg.box_length)
-        n = n + jnp.sum((live & field.forbidden(px)).astype(jnp.int32))
+        px, spec = _physical_planes(cfg, pos, origin, color)
+        bad = fields.species_forbidden(field, px, spec)
+        n = n + jnp.sum((live & bad).astype(jnp.int32))
     return n
 
 
@@ -89,12 +106,19 @@ def field_sweep(cfg: SimConfig, pot: Potential, field, state: SimState,
     this coupling bitwise — any divergence breaks telescoping immediately.
     """
     if getattr(pot, "is_mixture", False):
-        raise NotImplementedError("external fields + mixtures: pending")
+        from mcjax.ops.mixture import color_substep_mixture
 
-    def substep(cfg_, pot_, color, pos, occ, k, shift_fn, beta_,
-                block_offset):
-        return color_substep(cfg_, pot_, color, pos, occ, k, shift_fn,
-                             beta_, block_offset, field=field, origin=origin)
+        def substep(cfg_, pot_, color, pos, occ, k, shift_fn, beta_,
+                    block_offset):
+            return color_substep_mixture(cfg_, pot_, color, pos, occ, k,
+                                         shift_fn, beta_, block_offset,
+                                         field=field, origin=origin)
+    else:
+        def substep(cfg_, pot_, color, pos, occ, k, shift_fn, beta_,
+                    block_offset):
+            return color_substep(cfg_, pot_, color, pos, occ, k, shift_fn,
+                                 beta_, block_offset, field=field,
+                                 origin=origin)
 
     new_state, m = mc_sweep(cfg, pot, state, beta=beta, substep_fn=substep)
 

@@ -55,7 +55,9 @@ def color_substep_mixture(cfg: SimConfig, pot, color: int,
                           shift_fn: ShiftFn = roll_shift_fn,
                           beta: jax.Array | float | None = None,
                           block_offset: jax.Array | None = None,
-                          scale: jax.Array | None = None
+                          scale: jax.Array | None = None,
+                          field=None,
+                          origin: jax.Array | None = None
                           ) -> tuple[jax.Array, jax.Array, jax.Array,
                                      jax.Array]:
     """color_substep with species-resolved pair terms.
@@ -64,6 +66,9 @@ def color_substep_mixture(cfg: SimConfig, pot, color: int,
     (MC displacements never change identity) and re-attached on return.
     ``scale`` applies the NPT stored-frame convention (physical
     r^2 = scale^2 stored r^2, mcjax.ops.npt) — mixtures compose with NPT.
+    ``field``/``origin`` add a one-body external term exactly as in
+    color_substep, species-resolved when the field defines energy_s /
+    forbidden_s (models/fields.py — e.g. per-species gravity).
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     if beta is None:
@@ -80,8 +85,15 @@ def color_substep_mixture(cfg: SimConfig, pot, color: int,
     lbp = xs._cell_lower_bounds(cfg, color, bs, block_offset)
     w = cfg.cell_width
 
+    has_energy = pot.has_energy or (field is not None and field.has_energy)
     pick_u, dispp, acc_u = xs.substep_randoms(cfg, key, bs,
-                                              need_acc=pot.has_energy)
+                                              need_acc=has_energy)
+    org = None
+    if field is not None:
+        from mcjax.models.fields import species_energy, species_forbidden
+        if origin is None:
+            origin = jnp.zeros((dim,), jnp.float32)
+        org = origin.reshape((dim,) + (1,) * len(bs))
 
     slot = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
     nbr_valid = slot[None] < nbr_occ[:, None]
@@ -131,11 +143,20 @@ def color_substep_mixture(cfg: SimConfig, pot, color: int,
         e_new, ov_new = energy_at(new, sx, ownp_cur, sel)
         de = e_new - e_old
 
-        if pot.has_energy:
+        banned = jnp.zeros_like(oob)
+        if field is not None:
+            px_old = cells.wrap_into_box(old + org, cfg.box_length)
+            px_new = cells.wrap_into_box(new + org, cfg.box_length)
+            if field.has_energy:
+                de = de + (species_energy(field, px_new, sx)
+                           - species_energy(field, px_old, sx))
+            banned = species_forbidden(field, px_new, sx)
+
+        if has_energy:
             metro = acc_u[m] < jnp.exp(-beta * de)
         else:
             metro = jnp.ones_like(oob)
-        accept = nonempty & ~oob & ~ov_new & metro
+        accept = nonempty & ~oob & ~ov_new & ~banned & metro
 
         upd = accept[None] & sel
         ownp_cur = jnp.where(upd[None], new[:, None], ownp_cur)

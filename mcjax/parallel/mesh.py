@@ -114,6 +114,31 @@ def shard_state(cfg: SimConfig, state: SimState, mesh: Mesh,
     return jax.tree.map(jax.device_put, state, sh)
 
 
+def shard_coords(cfg: SimConfig, mesh: Mesh,
+                 spatial_axes: Sequence[str | None],
+                 replica_axis: str | None = None
+                 ) -> tuple[jax.Array, jax.Array]:
+    """(block_offset [dim], linearized shard_id) of the calling shard —
+    inside shard_map only. The offset anchors _cell_lower_bounds to global
+    cell coordinates; the id decorrelates per-shard move randomness."""
+    offs, shard_id = [], jnp.int32(0)
+    for k, name in enumerate(spatial_axes):
+        if name is None:
+            offs.append(jnp.int32(0))
+        else:
+            idx = jax.lax.axis_index(name)
+            offs.append(idx * (cfg.half_cps // mesh.shape[name]))
+            shard_id = shard_id * mesh.shape[name] + idx
+    block_offset = jnp.stack(offs)
+    if replica_axis:
+        # widen to include the replica axis so arithmetic against
+        # replica-varying values type-checks under shard_map's vma tracking
+        block_offset = jax.lax.pcast(block_offset, (replica_axis,),
+                                     to="varying")
+        shard_id = jax.lax.pcast(shard_id, (replica_axis,), to="varying")
+    return block_offset, shard_id
+
+
 def make_sharded_run_sweeps(cfg: SimConfig, pot: Potential, mesh: Mesh,
                             spatial_axes: Sequence[str | None],
                             n_sweeps: int,
@@ -146,21 +171,8 @@ def make_sharded_run_sweeps(cfg: SimConfig, pot: Potential, mesh: Mesh,
 
     def local_run(pos, occ, key, sweep, overflow, beta):
         # global block offset + linearized shard id for RNG decorrelation
-        offs, shard_id = [], jnp.int32(0)
-        for k, name in enumerate(spatial_axes):
-            if name is None:
-                offs.append(jnp.int32(0))
-            else:
-                idx = jax.lax.axis_index(name)
-                offs.append(idx * (cfg.half_cps // mesh.shape[name]))
-                shard_id = shard_id * mesh.shape[name] + idx
-        # widen to include the replica axis so arithmetic against
-        # replica-varying values type-checks under shard_map's vma tracking
-        block_offset = jnp.stack(offs)
-        if replica_axis:
-            block_offset = jax.lax.pcast(block_offset, (replica_axis,),
-                                         to="varying")
-            shard_id = jax.lax.pcast(shard_id, (replica_axis,), to="varying")
+        block_offset, shard_id = shard_coords(cfg, mesh, spatial_axes,
+                                              replica_axis)
 
         def step(st, _):
             st, m = mc_sweep(cfg, pot, st, shift_fn, beta, block_offset,

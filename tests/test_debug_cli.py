@@ -443,3 +443,48 @@ def test_cli_ecmc_chains(tmp_path):
     assert out3.returncode == 0, out3.stderr[-2000:]
     assert not [l for l in out3.stdout.splitlines()
                 if l.startswith("ecmc Z")]
+
+
+def test_cli_field_trap_walls(tmp_path):
+    # external fields end-to-end: trap + walls, checkpoint carries the
+    # frame origin, resume restores it
+    ck = str(tmp_path / "field.npz")
+    out = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "64",
+                  "--box", "12", "--cells-per-side", "4", "--nmax", "32",
+                  "--n-moves", "2", "--beta", "1.0", "--sigma", "0.3",
+                  "--proposal", "uniform", "--sweeps", "4", "--chunk", "2",
+                  "--trap", "0.2", "--walls=-4.5,4.5", "--field-axis", "1",
+                  "--checkpoint", ck, "--engine", "xla")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "overflow False" in out.stderr
+    extras = np.load(ck)
+    assert "extra_origin" in extras.files
+    out2 = run_cli("--resume", ck, "--trap", "0.2", "--walls=-4.5,4.5",
+                   "--field-axis", "1", "--sweeps", "2", "--chunk", "2",
+                   "--engine", "xla")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+
+
+def test_cli_species_gravity_mixture(tmp_path):
+    # per-species gravity on a KA-style mixture runs + dumps physical frames
+    out = run_cli("--model", "ka", "--dim", "3", "--n-atoms", "1500",
+                  "--rho", "1.2", "--n-moves", "2", "--beta", "1.25",
+                  "--sigma", "0.08", "--sweeps", "2", "--chunk", "2",
+                  "--species-gravity", "0.1,0.5", "--walls=-5.3,5.3",
+                  "--dump", str(tmp_path / "f.dump"), "--engine", "xla")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "overflow False" in out.stderr
+    assert (tmp_path / "f.dump").exists()
+
+
+def test_cli_field_rejects_pallas_and_ensembles():
+    out = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "64",
+                  "--box", "12", "--cells-per-side", "4", "--sweeps", "2",
+                  "--trap", "0.2", "--engine", "pallas")
+    assert out.returncode != 0
+    assert "XLA engine only" in (out.stderr + out.stdout)
+    out = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "64",
+                  "--box", "12", "--cells-per-side", "4", "--sweeps", "2",
+                  "--trap", "0.2", "--pressure", "1.0")
+    assert out.returncode != 0
+    assert "NVT driver only" in (out.stderr + out.stdout)

@@ -257,3 +257,90 @@ def test_sharded_semigrand_ideal_composition():
     frac = counts[:, 1].astype(np.float64).mean() / n
     assert abs(frac - 0.75) < 0.035, frac
     assert int(jnp.sum(ms.flipped)) > 50
+
+
+# ---- external fields under the mesh -------------------------------------------
+
+def test_sharded_field_trap_anchor():
+    """LJ + harmonic trap on a 2x2 mesh: the psum'd dE trace telescopes to
+    (pair + field) totals with the REPLICATED frame origin advancing in
+    lockstep with the shards' own shift draws."""
+    from mcjax.models.fields import HarmonicTrap
+    from mcjax.ops import extfield
+    from mcjax.parallel.extfield import make_sharded_run_field_sweeps
+
+    # NB cell_width (21/8 = 2.625) must cover r_cut 2.5 — ring-truncated
+    # energies are not rebinning-invariant otherwise (docs/ROADMAP.md).
+    cfg = SimConfig(dim=2, n_atoms=256, box_length=21.0, cells_per_side=8,
+                    nmax=16, n_moves=6, proposal="uniform", step_size=0.3,
+                    beta=1.0, seed=0)
+    pot = LennardJones(epsilon=0.3, sigma=1.0, r_cut=2.5)
+    cfg.validate_against(pot.r_cut)
+    field = HarmonicTrap(stiffness=0.05, dim=2)
+    st = init_state(cfg)
+    org0 = jnp.zeros(2, jnp.float32)
+    e0 = (float(total_energy_cells(cfg, pot, st.pos, st.occ))
+          + float(extfield.total_field_energy_cells(cfg, field, st.pos,
+                                                    st.occ, org0)))
+    m = make_mesh((2, 2), ("y", "x"))
+    run = make_sharded_run_field_sweeps(cfg, pot, field, m, ("y", "x"), 25)
+    st_sh = pmesh.shard_state(cfg, st, m, ("y", "x"))
+    st2, org, met = run(st_sh, org0)
+    assert not bool(st2.overflow)
+    assert int(st2.occ.sum()) == cfg.n_atoms
+    e1 = (float(total_energy_cells(cfg, pot, st2.pos, st2.occ))
+          + float(extfield.total_field_energy_cells(cfg, field, st2.pos,
+                                                    st2.occ, org)))
+    traced = float(e0) + float(jnp.sum(met.delta_e))
+    assert abs(traced - e1) < 1e-2 * max(1.0, abs(e1)), (e0, e1, traced)
+    assert float(jnp.sum(jnp.abs(org))) > 0     # the frame really drifted
+    assert len(st2.pos.sharding.device_set) == 4
+
+
+def test_sharded_field_mixture_walls():
+    """Species-resolved field (per-species gravity + per-species wall
+    margins) under the mesh: zero violations, species conserved, anchor."""
+    from mcjax.models.fields import (CompositeField, LinearField, SlitWalls,
+                                     SpeciesField)
+    from mcjax.models.mixtures import LJMixture
+    from mcjax.ops import extfield
+    from mcjax.ops.mixture import init_mixture_state
+    from mcjax.parallel.extfield import make_sharded_run_field_sweeps
+
+    n = 128
+    z = ((0.0, 0.0), (0.0, 0.0))
+    pot = LJMixture(epsilon=z, sigma=((1.0, 1.0), (1.0, 1.0)),
+                    r_cut_table=((1.5, 1.5), (1.5, 1.5)))
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=16.0, cells_per_side=8,
+                    nmax=24, n_moves=3, proposal="uniform", step_size=0.5,
+                    beta=1.0, seed=2)
+    lo, hi = -6.0, 6.0
+    field = CompositeField((
+        SpeciesField(LinearField(g=1.0, axis=1), (0.2, 0.8)),
+        SlitWalls(lo=lo, hi=hi, axis=1, diameters=(0.0, 1.0))))
+    rng = np.random.default_rng(11)
+    spec0 = jnp.asarray(np.arange(n) % 2, jnp.int32)
+    margin = np.where(np.arange(n) % 2 == 1, 0.5, 0.0)
+    pts = np.stack([rng.uniform(-8, 8, n),
+                    rng.uniform(lo + margin + 1e-3, hi - margin - 1e-3)], 1)
+    st = init_mixture_state(cfg, jnp.asarray(pts, jnp.float32), spec0)
+    org0 = jnp.zeros(2, jnp.float32)
+    assert int(extfield.field_violations(cfg, field, st.pos, st.occ,
+                                         org0)) == 0
+    m = make_mesh((2, 2), ("y", "x"))
+    run = make_sharded_run_field_sweeps(cfg, pot, field, m, ("y", "x"), 30)
+    st_sh = pmesh.shard_state(cfg, st, m, ("y", "x"))
+    st2, org, met = run(st_sh, org0)
+    assert not bool(st2.overflow)
+    assert int(st2.occ.sum()) == n
+    assert int(extfield.field_violations(cfg, field, st2.pos, st2.occ,
+                                         org)) == 0
+    fr = np.asarray(extfield.physical_positions(cfg, st2.pos, st2.occ, org))
+    assert int((fr[:, 2] > 0.5).sum()) == n // 2    # species conserved
+    # field-energy anchor (pair energy is identically 0 at eps == 0)
+    e0 = float(extfield.total_field_energy_cells(cfg, field, st.pos, st.occ,
+                                                 org0))
+    e1 = float(extfield.total_field_energy_cells(cfg, field, st2.pos,
+                                                 st2.occ, org))
+    traced = e0 + float(jnp.sum(met.delta_e))
+    assert abs(traced - e1) < 1e-2 * max(1.0, abs(e1)), (e0, e1, traced)
