@@ -443,17 +443,18 @@ def main(argv=None) -> int:
     engine = args.engine
     if engine == "auto":
         from mcjax.ops.pallas_sweep import recommended_engine
-        engine = "xla" if field is not None else recommended_engine(cfg)
+        engine = recommended_engine(cfg)
         print(f"# engine: {engine}", file=sys.stderr)
-    if field is not None and engine == "pallas":
-        raise SystemExit("external fields run on the XLA engine only "
-                         "(--engine xla; the Pallas field term is a "
-                         "roadmap item)")
+    # Mosaic only compiles on TPU; on CPU the Pallas engine runs the same
+    # kernel through the interpreter (slow — for tests/debugging, identical
+    # trajectories).
+    import jax as _jax
+    interpret = _jax.devices()[0].platform == "cpu"
     if engine == "pallas":
         from functools import partial
 
         from mcjax.ops.pallas_sweep import run_sweeps_pallas
-        runner = partial(run_sweeps_pallas,
+        runner = partial(run_sweeps_pallas, interpret=interpret,
                          in_kernel_rng=args.in_kernel_rng, fused=args.fused)
     elif mixture:
         from mcjax.ops.mixture import run_sweeps_mixture as runner
@@ -478,11 +479,22 @@ def main(argv=None) -> int:
                   "forbidden region (walls); they may stay trapped there",
                   file=sys.stderr)
 
-        def runner(cfg_, pot_, st_, n_):
-            nonlocal origin
-            st_, origin, m_ = extfield.run_field_sweeps(cfg_, pot_, field,
-                                                        st_, origin, n_)
-            return st_, m_
+        if engine == "pallas":
+            # the field's dE/forbidden test evaluate IN-KERNEL at physical
+            # coordinates (SMEM origin); bitwise == the XLA field engine
+            # for hard-core models (tests/test_extfield_pallas.py)
+            def runner(cfg_, pot_, st_, n_):
+                nonlocal origin
+                st_, origin, m_ = extfield.run_field_sweeps_pallas(
+                    cfg_, pot_, field, st_, origin, n_, fused=args.fused,
+                    interpret=interpret, in_kernel_rng=args.in_kernel_rng)
+                return st_, m_
+        else:
+            def runner(cfg_, pot_, st_, n_):
+                nonlocal origin
+                st_, origin, m_ = extfield.run_field_sweeps(
+                    cfg_, pot_, field, st_, origin, n_)
+                return st_, m_
 
     if args.tune_acceptance is not None:
         from mcjax.utils.tuning import tune_step_size

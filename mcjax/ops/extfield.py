@@ -15,8 +15,10 @@ the dE-anchor identity extends: energy trace == pair total + field total
 (tests/test_extfield.py pins this over many shifted sweeps, which would
 catch any drift-bookkeeping error by telescoping).
 
-XLA engine only for now; the Pallas kernel's field term is a round-4
-item (docs/ROADMAP.md).
+Both engines carry the field: the XLA substeps take ``field``/``origin``
+directly, and the Pallas kernel evaluates the field term in-kernel at
+physical coordinates with the origin as SMEM scalars
+(run_field_sweeps_pallas).
 """
 
 from __future__ import annotations
@@ -96,7 +98,8 @@ def field_violations(cfg: SimConfig, field, pos: jax.Array, occ: jax.Array,
 
 
 def field_sweep(cfg: SimConfig, pot: Potential, field, state: SimState,
-                origin: jax.Array, beta: jax.Array | float | None = None
+                origin: jax.Array, beta: jax.Array | float | None = None,
+                base_substep=None
                 ) -> tuple[SimState, jax.Array, SweepMetrics]:
     """One full MC sweep under ``field``; returns the advanced frame origin.
 
@@ -104,21 +107,22 @@ def field_sweep(cfg: SimConfig, pot: Potential, field, state: SimState,
     fold_in/split tree): the grid shift subtracts d from the stored ``axis``
     coordinates, so the frame origin gains +d. The dE-anchor test pins
     this coupling bitwise — any divergence breaks telescoping immediately.
-    """
-    if getattr(pot, "is_mixture", False):
-        from mcjax.ops.mixture import color_substep_mixture
 
-        def substep(cfg_, pot_, color, pos, occ, k, shift_fn, beta_,
-                    block_offset):
-            return color_substep_mixture(cfg_, pot_, color, pos, occ, k,
-                                         shift_fn, beta_, block_offset,
-                                         field=field, origin=origin)
-    else:
-        def substep(cfg_, pot_, color, pos, occ, k, shift_fn, beta_,
-                    block_offset):
-            return color_substep(cfg_, pot_, color, pos, occ, k, shift_fn,
-                                 beta_, block_offset, field=field,
-                                 origin=origin)
+    ``base_substep``: a color_substep-compatible callable accepting
+    ``field=``/``origin=`` keywords (e.g. the Pallas substeps from
+    make_pallas_substep/make_fused_substep); defaults to the XLA engine.
+    """
+    if base_substep is None:
+        if getattr(pot, "is_mixture", False):
+            from mcjax.ops.mixture import color_substep_mixture
+            base_substep = color_substep_mixture
+        else:
+            base_substep = color_substep
+
+    def substep(cfg_, pot_, color, pos, occ, k, shift_fn, beta_,
+                block_offset):
+        return base_substep(cfg_, pot_, color, pos, occ, k, shift_fn,
+                            beta_, block_offset, field=field, origin=origin)
 
     new_state, m = mc_sweep(cfg, pot, state, beta=beta, substep_fn=substep)
 
@@ -148,6 +152,50 @@ def run_field_sweeps(cfg: SimConfig, pot: Potential, field, state: SimState,
     def body(carry, _):
         st, org = carry
         st, org, m = field_sweep(cfg, pot, field, st, org, beta)
+        return (st, org), m
+
+    (state, origin), ms = jax.lax.scan(body, (state, origin),
+                                       length=n_sweeps)
+    return state, origin, ms
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 5, 7, 8, 9, 10, 11, 12, 13))
+def run_field_sweeps_pallas(cfg: SimConfig, pot: Potential, field,
+                            state: SimState, origin: jax.Array,
+                            n_sweeps: int,
+                            beta: jax.Array | None = None,
+                            tile_rows: int = 0, tile_cols: int = 128,
+                            interpret: bool = False, fused: bool = False,
+                            neighbor_unroll: int = 1, slot_group: int = 8,
+                            in_kernel_rng: bool = False
+                            ) -> tuple[SimState, jax.Array, SweepMetrics]:
+    """run_field_sweeps with the Pallas sub-sweep kernel (single chip).
+
+    The field's dE and forbidden test evaluate IN-KERNEL at physical
+    coordinates (the frame origin rides in as SMEM scalars); trajectories
+    are bitwise equal to the XLA field engine for hard-core models on the
+    shared Threefry streams (tests/test_extfield.py). ``fused`` uses the
+    in-kernel halo-DMA sub-sweep (per-substep ring build)."""
+    from mcjax.ops.pallas_sweep import (auto_tile_rows, make_fused_substep,
+                                        make_pallas_substep)
+
+    if tile_rows == 0:
+        tile_rows = auto_tile_rows(cfg, tile_cols)
+    if fused:
+        base = make_fused_substep(tile_rows, tile_cols, interpret,
+                                  neighbor_unroll=neighbor_unroll,
+                                  slot_group=slot_group,
+                                  in_kernel_rng=in_kernel_rng)
+    else:
+        base = make_pallas_substep(tile_rows, tile_cols, interpret,
+                                   neighbor_unroll=neighbor_unroll,
+                                   slot_group=slot_group,
+                                   in_kernel_rng=in_kernel_rng)
+
+    def body(carry, _):
+        st, org = carry
+        st, org, m = field_sweep(cfg, pot, field, st, org, beta,
+                                 base_substep=base)
         return (st, org), m
 
     (state, origin), ms = jax.lax.scan(body, (state, origin),

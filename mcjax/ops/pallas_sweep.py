@@ -75,7 +75,7 @@ def _uniform_01(bits):
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None, neighbor_unroll: int = 1,
                  slot_group: int = 8, use_scale: bool = False,
-                 in_kernel_rng: bool = False):
+                 in_kernel_rng: bool = False, field=None):
     """Build the kernel body (closure over static config/potential).
 
     ILP design (round 3): pair slots are processed in GROUPS of
@@ -98,7 +98,15 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     w = cfg.cell_width
     hard = pot.has_hard_core
-    energetic = pot.has_energy
+    # ``pair_energetic`` gates the pair-energy accumulators (the expensive
+    # per-slot math); ``energetic`` additionally turns on the Metropolis
+    # exp test + acceptance-uniform consumption when an external one-body
+    # field contributes energy over a hard-core pair model (mirrors the XLA
+    # engine's has_energy, sweep.py color_substep).
+    pair_energetic = pot.has_energy
+    use_field = field is not None
+    field_energetic = use_field and field.has_energy
+    energetic = pair_energetic or field_energetic
     # full static unroll when asked (neighbor_unroll >= n_k): slower Mosaic
     # compile, but every plane index becomes static
     unroll_neighbors = n_k <= 8 or neighbor_unroll >= n_k
@@ -129,7 +137,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
 
     def body(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref, pick_ref,
              disp_ref, accu_ref, seed_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref):
+             out_ref, de_ref, acc_ref, origin_ref=None):
         """The move chain on tile-local refs.  ``nbr_ref``/``nbrocc_ref``
         may be pipeline input blocks (classic path) or VMEM scratch filled
         by in-kernel DMA (fused path) — identical layout either way."""
@@ -160,7 +168,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             """Fresh (main, tail) accumulator pairs for one move."""
             de_p = ((jnp.zeros(gshape, jnp.float32),
                      jnp.zeros((tail,) + occ.shape, jnp.float32) if tail
-                     else None) if energetic else (None, None))
+                     else None) if pair_energetic else (None, None))
             ov_p = ((jnp.zeros(gshape, ov_dtype),
                      jnp.zeros((tail,) + occ.shape, ov_dtype) if tail
                      else None) if hard else (None, None))
@@ -239,6 +247,29 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 lb = lb_ref[d]
                 oob = oob | (new[d] < lb) | (new[d] >= lb + w)
 
+            # external one-body field: evaluated at PHYSICAL x =
+            # wrap(stored + origin) — the grid-shift frame offset rides in
+            # as SMEM scalars (mcjax.ops.extfield owns the origin update;
+            # same formula as the XLA engine, sweep.py color_substep).
+            de_field = None
+            banned = None
+            if use_field:
+                from mcjax.models import fields as _fields
+                box = jnp.float32(cfg.box_length)
+                half = jnp.float32(cfg.box_length / 2.0)
+
+                def phys(xs):
+                    return jnp.stack(
+                        [jnp.mod(xs[d] + origin_ref[0, d] + half, box) - half
+                         for d in range(dim)])
+
+                px_new = phys(new)
+                if field_energetic:
+                    px_old = phys(old)
+                    de_field = (_fields.species_energy(field, px_new, sx)
+                                - _fields.species_energy(field, px_old, sx))
+                banned = _fields.species_forbidden(field, px_new, sx)
+
             # Mosaic's scf.for fails to legalize pure-i1 vector carries, so
             # the fori path accumulates overlap as int32 (0/1) instead of bool
             ov_dtype = jnp.bool_ if unroll_neighbors else jnp.int32
@@ -256,7 +287,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     r2n = r2n + xs_new[d] * xs_new[d]
                 if use_scale:
                     r2n = s2 * r2n
-                if energetic:
+                if pair_energetic:
                     r2o = xs_old[0] * xs_old[0]
                     for d in range(1, dim):
                         r2o = r2o + xs_old[d] * xs_old[d]
@@ -310,7 +341,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             def unflatten(flat):
                 it = iter(flat)
                 de_p = ((next(it), next(it) if tail else None)
-                        if energetic else (None, None))
+                        if pair_energetic else (None, None))
                 ov_p = ((next(it), next(it) if tail else None)
                         if hard else (None, None))
                 return de_p, ov_p
@@ -359,13 +390,17 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     out = (out | red(tl)) if red is _any0 else out + red(tl)
                 return out
 
-            de = lane_reduce(de_parts, _sum0) if energetic \
+            de = lane_reduce(de_parts, _sum0) if pair_energetic \
                 else jnp.zeros_like(occf)
             ov_new = (lane_reduce(ov_parts, _any0) > 0 if hard
                       else jnp.zeros_like(nonempty))
+            if de_field is not None:
+                de = de + de_field
             accept = nonempty & jnp.logical_not(oob)
             if hard:
                 accept = accept & jnp.logical_not(ov_new)
+            if banned is not None:
+                accept = accept & jnp.logical_not(banned)
             if energetic:
                 acc_u = accu_m if in_kernel_rng else accu_ref[m]
                 accept = accept & (acc_u < jnp.exp(-beta * de))
@@ -390,26 +425,29 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
         acc_ref[0] = acc_acc
 
     def kernel(*refs):
+        it = list(refs)
+        own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref = it[:5]
+        i = 5
         if in_kernel_rng:
-            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
-             seed_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref) = refs
+            seed_ref = it[i]
+            i += 1
             pick_ref = disp_ref = accu_ref = None
-        elif energetic:
-            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
-             pick_ref, disp_ref, accu_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref) = refs
-            seed_ref = None
         else:
+            pick_ref, disp_ref = it[i], it[i + 1]
+            i += 2
             # pure hard-core accept rule never reads a uniform — the zero
             # acceptance planes are dropped from the input stream entirely
-            (own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref,
-             pick_ref, disp_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref) = refs
-            accu_ref = seed_ref = None
+            accu_ref = it[i] if energetic else None
+            i += 1 if energetic else 0
+            seed_ref = None
+        beta_ref, scale2_ref = it[i], it[i + 1]
+        i += 2
+        origin_ref = it[i] if use_field else None
+        i += 1 if use_field else 0
+        out_ref, de_ref, acc_ref = it[i:i + 3]
         body(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref, pick_ref,
              disp_ref, accu_ref, seed_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref)
+             out_ref, de_ref, acc_ref, origin_ref)
 
     kernel.body = body
     return kernel
@@ -440,6 +478,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          beta: jax.Array | float | None = None,
                          block_offset: jax.Array | None = None,
                          scale: jax.Array | None = None,
+                         field=None,
+                         origin: jax.Array | None = None,
                          *, tile_rows: int = 8, tile_cols: int = 128,
                          interpret: bool = False,
                          vma: tuple[str, ...] | None = None,
@@ -453,6 +493,10 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     shard_map (halo-aware shift_fn + block_offset): the kernel itself only
     sees local planes; all cross-chip traffic happens in the neighbor-stack
     build.
+
+    ``field``/``origin`` mirror sweep.color_substep's external one-body
+    field: the frame origin rides into the kernel as SMEM scalars and the
+    field's dE/forbidden test evaluate in-kernel at physical coordinates.
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     n_k = cfg.n_neighbors - 1
@@ -494,13 +538,15 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     # in_kernel_rng instead feeds the kernel the raw key data and draws from
     # the TPU's hardware PRNG per tile (VERDICT r2 item 2) — NOT bitwise
     # comparable to the XLA engine; gated statistically (tests/test_pallas).
+    use_field = field is not None
+    need_acc = pot.has_energy or (use_field and field.has_energy)
     if in_kernel_rng:
         pick_u = disp = acc_u = None
         seed_arr = jax.lax.bitcast_convert_type(
             jax.random.key_data(key), jnp.int32).reshape(1, 2)
     else:
         pick_u, disp, acc_u = xla_sweep.substep_randoms(
-            cfg, key, (n_cells,), need_acc=pot.has_energy)
+            cfg, key, (n_cells,), need_acc=need_acc)
 
     # ---- flatten the cell grid into full-width lane tiles -----------------
     # Cells are independent within a color sub-sweep, so after neighbor
@@ -525,7 +571,7 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     if not in_kernel_rng:
         pick_p = to_tiles(pick_u, n_m)
         disp_p = to_tiles(disp, n_m * dim)
-        if pot.has_energy:
+        if need_acc:
             accu_p = to_tiles(acc_u, n_m)
 
     beta_static = None
@@ -541,8 +587,11 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     use_scale = scale is not None
     scale2_arr = (jnp.asarray(scale, jnp.float32).reshape(1, 1) ** 2
                   if use_scale else jnp.zeros((1, 1), jnp.float32))
+    if use_field:
+        origin_arr = (jnp.zeros((1, dim), jnp.float32) if origin is None
+                      else jnp.asarray(origin, jnp.float32).reshape(1, dim))
     kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
-                          slot_group, use_scale, in_kernel_rng)
+                          slot_group, use_scale, in_kernel_rng, field)
     grid = (rp // tile_rows, cp // tile_cols)
 
     def bspec(lead):
@@ -574,7 +623,7 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
         in_specs = common_specs + [sspec(2), sspec(), sspec()]
         args = (own_p, occ_p, nbr_p, nbrocc_p, lb_p, seed_arr, beta_arr,
                 scale2_arr)
-    elif pot.has_energy:
+    elif need_acc:
         in_specs = common_specs + [bspec(n_m), bspec(n_m * dim), bspec(n_m),
                                    sspec(), sspec()]
         args = (own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p, accu_p,
@@ -584,6 +633,9 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                                    sspec(), sspec()]
         args = (own_p, occ_p, nbr_p, nbrocc_p, lb_p, pick_p, disp_p,
                 beta_arr, scale2_arr)
+    if use_field:
+        in_specs = in_specs + [sspec(dim)]
+        args = args + (origin_arr,)
 
     own_new_p, de_map, acc_map = pl.pallas_call(
         kernel,
@@ -642,6 +694,8 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
                                key: jax.Array,
                                beta: jax.Array | float | None = None,
                                scale: jax.Array | None = None,
+                               field=None,
+                               origin: jax.Array | None = None,
                                *, tile_rows: int = 8, tile_cols: int = 128,
                                interpret: bool = False,
                                neighbor_unroll: int = 1,
@@ -671,7 +725,7 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
     n_planes = pos.shape[1]
     ext3, exto3 = _ring_state(cfg, pos, occ, tile_rows, tile_cols)
     own_new, de, n_acc, n_prop = _fused_core(
-        cfg, pot, color, ext3, exto3, key, beta, scale,
+        cfg, pot, color, ext3, exto3, key, beta, scale, field, origin,
         tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
         neighbor_unroll=neighbor_unroll, slot_group=slot_group,
         in_kernel_rng=in_kernel_rng)
@@ -732,6 +786,8 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
                 ext3: jax.Array, exto3: jax.Array, key: jax.Array,
                 beta: jax.Array | float | None = None,
                 scale: jax.Array | None = None,
+                field=None,
+                origin: jax.Array | None = None,
                 *, tile_rows: int = 8, tile_cols: int = 128,
                 interpret: bool = False, neighbor_unroll: int = 1,
                 slot_group: int = 8, in_kernel_rng: bool = False
@@ -766,13 +822,15 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
     LR = L // 128
     W = padded + 2 * M2 + 128
 
+    use_field = field is not None
+    need_acc = pot.has_energy or (use_field and field.has_energy)
     if in_kernel_rng:
         pick_u = disp = acc_u = None
         seed_arr = jax.lax.bitcast_convert_type(
             jax.random.key_data(key), jnp.int32).reshape(1, 2)
     else:
         pick_u, disp, acc_u = xla_sweep.substep_randoms(
-            cfg, key, (n_cells,), need_acc=pot.has_energy)
+            cfg, key, (n_cells,), need_acc=need_acc)
 
     def to_tiles(x, lead):
         x = x.reshape(lead, n_cells)
@@ -794,7 +852,7 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
     if not in_kernel_rng:
         pick_p = to_tiles(pick_u, n_m)
         disp_p = to_tiles(disp, n_m * dim)
-        if pot.has_energy:
+        if need_acc:
             accu_p = to_tiles(acc_u, n_m)
 
     beta_static = None
@@ -809,26 +867,35 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
     use_scale = scale is not None
     scale2_arr = (jnp.asarray(scale, jnp.float32).reshape(1, 1) ** 2
                   if use_scale else jnp.zeros((1, 1), jnp.float32))
+    if use_field:
+        origin_arr = (jnp.zeros((1, dim), jnp.float32) if origin is None
+                      else jnp.asarray(origin, jnp.float32).reshape(1, dim))
 
     base_kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
-                               slot_group, use_scale, in_kernel_rng)
+                               slot_group, use_scale, in_kernel_rng, field)
     body = base_kernel.body
     TR, TC = tile_rows, tile_cols
     PN = n_planes * nmax
 
     def fused_kernel(*refs):
-        n_rng = 0 if in_kernel_rng else (3 if pot.has_energy else 2)
+        n_rng = 0 if in_kernel_rng else (3 if need_acc else 2)
         (own_ref, occ_ref, lb_ref, mask_ref), rest = refs[:4], refs[4:]
         rng_refs, rest = rest[:n_rng or 1], rest[n_rng or 1:]
-        (beta_ref, scale2_ref, extp_ref, exto_ref,
-         out_ref, de_ref, acc_ref,
-         sup_pos, sup_occ, nbrs, nbro, sems) = rest
+        if use_field:
+            (beta_ref, scale2_ref, origin_ref, extp_ref, exto_ref,
+             out_ref, de_ref, acc_ref,
+             sup_pos, sup_occ, nbrs, nbro, sems) = rest
+        else:
+            (beta_ref, scale2_ref, extp_ref, exto_ref,
+             out_ref, de_ref, acc_ref,
+             sup_pos, sup_occ, nbrs, nbro, sems) = rest
+            origin_ref = None
         if in_kernel_rng:
             seed_ref = rng_refs[0]
             pick_ref = disp_ref = accu_ref = None
         else:
             pick_ref, disp_ref = rng_refs[0], rng_refs[1]
-            accu_ref = rng_refs[2] if pot.has_energy else None
+            accu_ref = rng_refs[2] if need_acc else None
             seed_ref = None
 
         i0r = pl.program_id(0) * TR
@@ -911,7 +978,7 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
 
         body(own_ref, occ_ref, nbrs, nbro, lb_ref, pick_ref, disp_ref,
              accu_ref, seed_ref, beta_ref, scale2_ref,
-             out_ref, de_ref, acc_ref)
+             out_ref, de_ref, acc_ref, origin_ref)
 
     grid = (rp // tile_rows, cp // tile_cols)
 
@@ -931,21 +998,26 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
         jax.ShapeDtypeStruct((1, rp, cp), jnp.float32),
         jax.ShapeDtypeStruct((1, rp, cp), jnp.int32),
     )
+    ospec = [sspec(dim)] if use_field else []
+    oarg = (origin_arr,) if use_field else ()
     common = [bspec(n_planes * nmax), bspec(1), bspec(dim), bspec(2 * dim)]
     if in_kernel_rng:
-        in_specs = common + [sspec(2), sspec(), sspec(), any_spec, any_spec]
-        args = (own_p, occ_p, lb_p, masks_p, seed_arr, beta_arr, scale2_arr,
-                ext3, exto3)
-    elif pot.has_energy:
+        in_specs = common + [sspec(2), sspec(), sspec()] + ospec \
+            + [any_spec, any_spec]
+        args = (own_p, occ_p, lb_p, masks_p, seed_arr, beta_arr, scale2_arr
+                ) + oarg + (ext3, exto3)
+    elif need_acc:
         in_specs = common + [bspec(n_m), bspec(n_m * dim), bspec(n_m),
-                             sspec(), sspec(), any_spec, any_spec]
+                             sspec(), sspec()] + ospec \
+            + [any_spec, any_spec]
         args = (own_p, occ_p, lb_p, masks_p, pick_p, disp_p, accu_p,
-                beta_arr, scale2_arr, ext3, exto3)
+                beta_arr, scale2_arr) + oarg + (ext3, exto3)
     else:
         in_specs = common + [bspec(n_m), bspec(n_m * dim),
-                             sspec(), sspec(), any_spec, any_spec]
+                             sspec(), sspec()] + ospec \
+            + [any_spec, any_spec]
         args = (own_p, occ_p, lb_p, masks_p, pick_p, disp_p,
-                beta_arr, scale2_arr, ext3, exto3)
+                beta_arr, scale2_arr) + oarg + (ext3, exto3)
 
     scratch = [
         pltpu.VMEM((U, n_planes * nmax, LR, 128), jnp.float32),
@@ -989,11 +1061,12 @@ def make_fused_substep(tile_rows: int = 8, tile_cols: int = 128,
     sweep.mc_sweep's substep_fn (shift_fn/block_offset must stay default)."""
     def substep(cfg, pot, color, pos, occ, key,
                 shift_fn=roll_shift_fn, beta=None, block_offset=None,
-                scale=None):
+                scale=None, field=None, origin=None):
         if block_offset is not None or shift_fn is not roll_shift_fn:
             raise ValueError("fused substep is single-chip only")
         return pallas_color_substep_fused(
             cfg, pot, color, pos, occ, key, beta=beta, scale=scale,
+            field=field, origin=origin,
             tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
             neighbor_unroll=neighbor_unroll, slot_group=slot_group,
             in_kernel_rng=in_kernel_rng)

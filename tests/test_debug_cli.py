@@ -477,12 +477,19 @@ def test_cli_species_gravity_mixture(tmp_path):
     assert (tmp_path / "f.dump").exists()
 
 
-def test_cli_field_rejects_pallas_and_ensembles():
-    out = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "64",
-                  "--box", "12", "--cells-per-side", "4", "--sweeps", "2",
-                  "--trap", "0.2", "--engine", "pallas")
-    assert out.returncode != 0
-    assert "XLA engine only" in (out.stderr + out.stdout)
+def test_cli_field_pallas_engine():
+    # fields on the Pallas engine (interpreted on CPU): in-kernel field term
+    out = run_cli("--model", "hard", "--dim", "2", "--n-atoms", "32",
+                  "--box", "12", "--cells-per-side", "4", "--nmax", "16",
+                  "--n-moves", "2", "--sigma", "0.3", "--proposal", "uniform",
+                  "--sweeps", "2", "--chunk", "2",
+                  "--walls=-4.5,4.5", "--field-axis", "1",
+                  "--engine", "pallas")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "overflow False" in out.stderr
+
+
+def test_cli_field_rejects_ensembles():
     out = run_cli("--model", "lj", "--dim", "2", "--n-atoms", "64",
                   "--box", "12", "--cells-per-side", "4", "--sweeps", "2",
                   "--trap", "0.2", "--pressure", "1.0")
