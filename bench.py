@@ -200,8 +200,9 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
 
 def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
-               tile_rows: int, slot_group: int = 8,
-               fused: bool = False, in_kernel_rng: bool = False) -> None:
+               tile_rows: int, slot_group: int = 4,
+               fused: bool = False, in_kernel_rng: bool = False,
+               neighbor_unroll: int = 2) -> None:
     """Kob-Andersen 80:20 binary LJ mixture at rho=1.2, T=0.8 (the canonical
     glass former) at production N on the Pallas mixture kernel — per-pair
     (eps, sigma, r_cut) resolved in-kernel from the species plane. The
@@ -226,13 +227,13 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     state = init_mixture_state(cfg, stratified_positions(cfg), spec)
 
     st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
-                              False, False, 2, slot_group, in_kernel_rng,
-                              fused)
+                              False, False, neighbor_unroll, slot_group,
+                              in_kernel_rng, fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
-                               False, False, 2, slot_group, in_kernel_rng,
-                               fused)
+                               False, False, neighbor_unroll, slot_group,
+                               in_kernel_rng, fused)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -332,24 +333,28 @@ def main() -> None:
     ap.add_argument("--chains", type=int, default=64,
                     help="ecmc workload: event chains per replica per call")
     ap.add_argument("--tile-rows", type=int, default=0)
-    ap.add_argument("--neighbor-unroll", type=int, default=2)
+    ap.add_argument("--neighbor-unroll", type=int, default=None,
+                    help="neighbor planes per unrolled kernel step "
+                         "(default: measured winners — 2 in 2D, full 26 "
+                         "unroll for lj3d/ka3d; r3 cont. tuning log)")
     ap.add_argument("--slot-group", type=int, default=None,
                     help="pair slots per grouped [G, TR, TC] kernel op "
                          "(default: measured winners — 1 for 2D hard-disk, "
-                         "2 for lj3d, 8 for ka3d; r3 tuning log)")
+                         "2 for lj3d, 4 for ka3d; r3 tuning log)")
     ap.add_argument("--fused", action="store_true", default=None,
                     help="in-kernel halo DMA sub-sweep (no materialized "
                          "neighbor stack; single-chip flat path). Default: "
-                         "on for the 2D hard-disk headline (measured +64%% "
-                         "with --in-kernel-rng), off in 3D where the "
-                         "classic flat-stack path measures faster")
+                         "on everywhere — with the ring-carry scan + full "
+                         "neighbor unroll it wins 2D AND 3D (r3 cont.: "
+                         "lj3d n_M=15 7.2e7->9.2e7, n_M=60 1.22e8->1.37e8, "
+                         "ka3d 5.4e7->6.9e7)")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
     ap.add_argument("--in-kernel-rng", action="store_true", default=None,
                     help="draw randoms from the TPU hardware PRNG inside "
                          "the kernel (drops the 4 Threefry tensor inputs; "
                          "not bitwise vs the XLA engine; gated by "
                          "scripts/validate_in_kernel_rng.py). Default: on "
-                         "for the 2D hard-disk headline")
+                         "everywhere (measured winner with --fused)")
     ap.add_argument("--host-rng", dest="in_kernel_rng", action="store_false")
     ap.add_argument("--pallas-shift", action="store_true",
                     help="use the Pallas grid-shift kernel (wins for 3D "
@@ -358,13 +363,17 @@ def main() -> None:
                     help="skip the compiled sharded-Pallas parity check")
     args = ap.parse_args()
 
-    # Measured-winner defaults (docs/PERF.md round 3): the fused in-kernel
-    # halo DMA + hardware PRNG combination wins the 2D headline (5.2e9 vs
-    # 2.7e9 classic); in 3D the classic flat-stack path stays ahead.
+    # Measured-winner defaults (docs/PERF.md round 3 + cont.): the fused
+    # in-kernel halo DMA + hardware PRNG combination wins everywhere once
+    # the ring-carry scan landed — 2D headline 5.2e9 (vs 2.7e9 classic);
+    # 3D with full neighbor unroll: lj3d n_M=60 1.37e8 (vs 1.22e8 classic),
+    # n_M=15 9.2e7 (vs 7.2e7), ka3d 6.9e7 (vs 5.4e7).
     if args.in_kernel_rng is None:
-        args.in_kernel_rng = args.workload == "hard-disk"
+        args.in_kernel_rng = True
     if args.fused is None:
-        args.fused = args.workload == "hard-disk"
+        args.fused = True
+    if args.neighbor_unroll is None:
+        args.neighbor_unroll = 26 if args.workload in ("lj3d", "ka3d") else 2
 
     if args.workload == "ecmc":
         n = args.n if args.n != 1_048_576 else 4096
@@ -381,8 +390,8 @@ def main() -> None:
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
         bench_ka3d(n, min(args.sweeps, 30), args.moves or 60,
-                   args.nmax or 38, args.tile_rows, args.slot_group or 8,
-                   args.fused, args.in_kernel_rng)
+                   args.nmax or 38, args.tile_rows, args.slot_group or 4,
+                   args.fused, args.in_kernel_rng, args.neighbor_unroll)
         return
     if args.slot_group is None:
         args.slot_group = 1   # 2D hard-disk: grouping hurts (r3 tuning)
