@@ -361,7 +361,15 @@ def main() -> None:
                          "where the XLA merge runs on lane-hostile tiles)")
     ap.add_argument("--no-sharded-check", action="store_true",
                     help="skip the compiled sharded-Pallas parity check")
+    ap.add_argument("--ih-k", type=int, default=None,
+                    help="Irwin-Hall uniforms per gaussian component for the "
+                         "in-kernel RNG (default pallas_sweep.IH_K=12; any K "
+                         "keeps the proposal symmetric, smaller K = fewer "
+                         "prng draws, shorter tails)")
     args = ap.parse_args()
+    if args.ih_k is not None:
+        from mcjax.ops import pallas_sweep as _ps
+        _ps.IH_K = args.ih_k
 
     # Measured-winner defaults (docs/PERF.md round 3 + cont.): the fused
     # in-kernel halo DMA + hardware PRNG combination wins everywhere once

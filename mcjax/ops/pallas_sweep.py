@@ -72,6 +72,23 @@ def _uniform_01(bits):
             ).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
+# Uniforms summed per Irwin-Hall gaussian component (in-kernel RNG).  The
+# sum is rescaled to variance step^2 regardless of K, and any K keeps the
+# proposal symmetric (Metropolis needs nothing more), so K only trades tail
+# extent (+-sqrt(3K) sigma) against draw cost: 3D gaussian moves pay
+# dim*K + 2 prng_random_bits planes per move.  K=8 measured ~parity with
+# K=12 on lj3d (docs/PERF.md round 3 cont.); 12 stays the default for its
+# longer tails.  Module-level so harnesses (bench.py --ih-k) can override
+# BEFORE tracing; it is read at trace time, not kernel-call time.
+IH_K = 12
+
+
+def _ih_k() -> int:
+    if not (isinstance(IH_K, int) and 2 <= IH_K <= 64):
+        raise ValueError(f"IH_K must be an int in [2, 64], got {IH_K!r}")
+    return IH_K
+
+
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None, neighbor_unroll: int = 1,
                  slot_group: int = 8, use_scale: bool = False,
@@ -133,7 +150,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
 
     gaussian = cfg.proposal == "gaussian"
     step = cfg.step_size
-    IH_K = 12  # uniforms per Irwin-Hall gaussian component (in-kernel RNG)
+    IH_K = _ih_k()  # uniforms per Irwin-Hall gaussian component (ik-RNG)
 
     def body(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref, pick_ref,
              disp_ref, accu_ref, seed_ref, beta_ref, scale2_ref,

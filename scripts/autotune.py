@@ -38,6 +38,9 @@ GRIDS = {
                   "neighbor-unroll": [1, 2], "moves": [60]},
         "full": {"tile-rows": [8, 16, 32], "slot-group": [1, 2, 4, 8],
                  "neighbor-unroll": [1, 2, 13, 26], "moves": [15, 60]},
+        # gaussian-proposal draw cost: Irwin-Hall K (in-kernel RNG only)
+        "ihk": {"ih-k": [6, 8, 12], "neighbor-unroll": [26],
+                "moves": [15, 60]},
     },
     "ka3d": {
         "small": {"tile-rows": [8, 16], "slot-group": [4, 8], "moves": [60]},
@@ -65,7 +68,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="lj3d",
                     choices=sorted(GRIDS))
-    ap.add_argument("--grid", default="small", choices=["small", "full"])
+    ap.add_argument("--grid", default="small",
+                    help="grid name within the workload (small/full/...)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--sweeps", type=int, default=None,
                     help="override the bench's timed sweep count")
@@ -87,12 +91,19 @@ def main():
                 except (json.JSONDecodeError, KeyError):
                     pass
 
-    grid = GRIDS[args.workload][args.grid]
+    try:
+        grid = GRIDS[args.workload][args.grid]
+    except KeyError:
+        ap.error(f"unknown grid {args.grid!r} for {args.workload}; "
+                 f"have: {sorted(GRIDS[args.workload])}")
     names = sorted(grid)
     combos = []
     for values in itertools.product(*(grid[k] for k in names)):
         base = [f"--{k}={v}" for k, v in zip(names, values)]
-        for extra in BOOL_FLAGS[args.workload]:
+        extras = BOOL_FLAGS[args.workload]
+        if "ih-k" in grid:  # Irwin-Hall K only exists on the in-kernel path
+            extras = [e for e in extras if "--host-rng" not in e]
+        for extra in extras:
             combos.append(base + list(extra))
 
     print(f"# {len(combos)} combos, {len(done)} already done -> {out_path}",

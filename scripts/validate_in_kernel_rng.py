@@ -131,6 +131,11 @@ def lj_case():
 
 
 if __name__ == "__main__":
+    # optional Irwin-Hall K override (gates bench.py --ih-k settings): the
+    # host-RNG arm is K-independent, so every check doubles as a K gate
+    if len(sys.argv) > 2 and sys.argv[1] == "--ih-k":
+        import mcjax.ops.pallas_sweep as _ps
+        _ps.IH_K = int(sys.argv[2])
     hard_disk_case()
     lj_case()
     sys.exit(FAIL)
