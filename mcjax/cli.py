@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "hardware PRNG inside the kernel (fastest; not "
                         "bitwise vs the XLA engine — gated statistically "
                         "by scripts/validate_in_kernel_rng.py)")
+    p.add_argument("--ih-k", type=int, default=None,
+                   help="in-kernel RNG only: Irwin-Hall uniforms per "
+                        "gaussian proposal component (default 12; smaller "
+                        "= fewer hardware-PRNG draws, shorter +-sqrt(3K) "
+                        "sigma tails — any K is a symmetric proposal, so "
+                        "Metropolis exactness is unaffected)")
     p.add_argument("--chunk", type=int, default=50,
                    help="sweeps per device dispatch / print interval")
     p.add_argument("--reanchor-every", type=int, default=0,
@@ -379,6 +385,11 @@ def config_from_args(args) -> tuple["SimConfig", "Potential"]:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.ih_k is not None:
+        # set BEFORE any kernel trace — IH_K is read at trace time
+        from mcjax.ops import pallas_sweep as _ps
+        _ps.IH_K = args.ih_k
 
     import jax.numpy as jnp
 
