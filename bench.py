@@ -48,7 +48,27 @@ def build(n_atoms: int, phi: float, cell_width_factor: float, nmax: int,
     return cfg, pot, state
 
 
-def bench_reference_lj(engine: str, sweeps: int) -> None:
+def run_rng_gate(ih_k: int) -> str:
+    """Quick in-process statistical gate for the in-kernel hardware PRNG
+    (acceptance z-test + dE-anchor + EOS parity vs the host-Threefry path,
+    scripts/validate_in_kernel_rng.run_gate) so every BENCH_r*.json records
+    an rng_gate verdict for the defaults it benchmarked (VERDICT r3 #4b).
+    Returns "pass" / "fail" / "error:<msg>"."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        from validate_in_kernel_rng import run_gate
+        res = run_gate(ih_k=ih_k, fused=True, quick=True, quiet=True)
+        print(f"# rng_gate: {'pass' if res['ok'] else 'fail'} "
+              f"(ih_k={res['ih_k']}, {res['checks']} checks, "
+              f"failures={res['failures']})", file=sys.stderr)
+        return "pass" if res["ok"] else "fail"
+    except Exception as e:  # never let the gate take down the benchmark
+        print(f"# rng_gate errored: {e!r}", file=sys.stderr)
+        return f"error:{type(e).__name__}"
+
+
+def bench_reference_lj(engine: str, sweeps: int) -> dict:
     """The reference's own published benchmark workload: ~1k-atom 3D LJ NVT,
     1000 sweeps (pptx slide 14: 57 s on its GPU). Prints one JSON line with
     the wall-time speedup."""
@@ -81,14 +101,14 @@ def bench_reference_lj(engine: str, sweeps: int) -> None:
     dt = time.perf_counter() - t0
     # scale to the reference's 1000-sweep run
     wall_1000 = dt * (1000 / sweeps)
-    print(json.dumps({
+    print(f"# {sweeps} sweeps in {dt:.3f}s; "
+          f"{int(jnp.sum(m.proposed)) / dt:.3e} moves/s", file=sys.stderr)
+    return {
         "metric": "reference LJ workload wall time, 1000 sweeps (ref: 57 s)",
         "value": wall_1000,
         "unit": "s",
         "vs_baseline": 57.0 / wall_1000,
-    }))
-    print(f"# {sweeps} sweeps in {dt:.3f}s; "
-          f"{int(jnp.sum(m.proposed)) / dt:.3e} moves/s", file=sys.stderr)
+    }
 
 
 def sharded_pallas_check() -> None:
@@ -145,7 +165,8 @@ def sharded_pallas_check() -> None:
 def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, neighbor_unroll: int,
                pallas_shift: bool = False, slot_group: int = 8,
-               in_kernel_rng: bool = False, fused: bool = False) -> None:
+               in_kernel_rng: bool = False, fused: bool = False,
+               ih_k: int = 0) -> dict:
     """3D Lennard-Jones at the reference's own density (rho = 0.8,
     kernel.cu:17-29: 800 atoms in a 10^3 box) scaled to production N —
     the reference's physics, not just the 2D hard-disk headline
@@ -172,12 +193,12 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
                               False, pallas_shift, neighbor_unroll,
-                              slot_group, in_kernel_rng, fused)
+                              slot_group, in_kernel_rng, fused, ih_k)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, pot, st, sweeps, tile_rows, 128,
                                False, pallas_shift, neighbor_unroll,
-                               slot_group, in_kernel_rng, fused)
+                               slot_group, in_kernel_rng, fused, ih_k)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -185,24 +206,24 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     proposed = int(np.sum(np.asarray(m.proposed, np.int64)))
     accepted = int(np.sum(np.asarray(m.accepted, np.int64)))
     moves_per_s = proposed / dt
-    print(json.dumps({
+    print(f"# {sweeps} sweeps in {dt:.3f}s; acceptance "
+          f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "
+          f"overflow {bool(st2.overflow)}; cps {cps}; nmax {nmax}; "
+          f"tile_rows {tile_rows}; unroll {neighbor_unroll}; ih_k {ih_k}",
+          file=sys.stderr)
+    return {
         "metric": "3D LJ MC trial moves/sec/chip (N=%d, rho=0.8, pallas)"
                   % cfg.n_atoms,
         "value": moves_per_s,
         "unit": "moves/s",
         "vs_baseline": moves_per_s / REFERENCE_MOVES_PER_S,
-    }))
-    print(f"# {sweeps} sweeps in {dt:.3f}s; acceptance "
-          f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "
-          f"overflow {bool(st2.overflow)}; cps {cps}; nmax {nmax}; "
-          f"tile_rows {tile_rows}; unroll {neighbor_unroll}",
-          file=sys.stderr)
+    }
 
 
 def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, slot_group: int = 4,
                fused: bool = False, in_kernel_rng: bool = False,
-               neighbor_unroll: int = 2) -> None:
+               neighbor_unroll: int = 2, ih_k: int = 0) -> dict:
     """Kob-Andersen 80:20 binary LJ mixture at rho=1.2, T=0.8 (the canonical
     glass former) at production N on the Pallas mixture kernel — per-pair
     (eps, sigma, r_cut) resolved in-kernel from the species plane. The
@@ -228,12 +249,12 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
     st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
                               False, False, neighbor_unroll, slot_group,
-                              in_kernel_rng, fused)
+                              in_kernel_rng, fused, ih_k)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
                                False, False, neighbor_unroll, slot_group,
-                               in_kernel_rng, fused)
+                               in_kernel_rng, fused, ih_k)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -241,21 +262,21 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     proposed = int(np.sum(np.asarray(m.proposed, np.int64)))
     accepted = int(np.sum(np.asarray(m.accepted, np.int64)))
     moves_per_s = proposed / dt
-    print(json.dumps({
+    print(f"# {sweeps} sweeps in {dt:.3f}s; acceptance "
+          f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "
+          f"overflow {bool(st2.overflow)}; cps {cps}; nmax {nmax}; "
+          f"tile_rows {tile_rows}; ih_k {ih_k}", file=sys.stderr)
+    return {
         "metric": "Kob-Andersen 80:20 mixture trial moves/sec/chip "
                   "(N=%d, rho=1.2, T=0.8, pallas)" % cfg.n_atoms,
         "value": moves_per_s,
         "unit": "moves/s",
         "vs_baseline": moves_per_s / REFERENCE_MOVES_PER_S,
-    }))
-    print(f"# {sweeps} sweeps in {dt:.3f}s; acceptance "
-          f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "
-          f"overflow {bool(st2.overflow)}; cps {cps}; nmax {nmax}; "
-          f"tile_rows {tile_rows}", file=sys.stderr)
+    }
 
 
 def bench_ecmc(n_atoms: int, replicas: int, chains: int,
-               phi: float = 0.5) -> None:
+               phi: float = 0.5) -> dict:
     """Replica-vmapped event-chain MC on hard disks: R independent systems
     run whole chain schedules in lockstep, each event a masked 3^dim-ring
     sweep (mcjax.ops.ecmc). Metric: lift events/s/chip — every lift is an
@@ -293,16 +314,16 @@ def bench_ecmc(n_atoms: int, replicas: int, chains: int,
     lifts = int(np.sum(np.asarray(m.lifts, np.int64)))
     events = int(np.sum(np.asarray(m.events, np.int64)))
     z = float(pressure_from_metrics(m))
-    print(json.dumps({
+    print(f"# {replicas}x{chains} chains (ell={ell:.1f}) in {dt:.3f}s; "
+          f"{events} events; Z estimate {z:.4f}; capped "
+          f"{int(np.sum(np.asarray(m.capped)))}", file=sys.stderr)
+    return {
         "metric": "ECMC lift events/s/chip (%d replicas x %d hard disks, "
                   "phi=%.2f)" % (replicas, n_atoms, phi),
         "value": lifts / dt,
         "unit": "lifts/s",
         "vs_baseline": (lifts / dt) / REFERENCE_MOVES_PER_S,
-    }))
-    print(f"# {replicas}x{chains} chains (ell={ell:.1f}) in {dt:.3f}s; "
-          f"{events} events; Z estimate {z:.4f}; capped "
-          f"{int(np.sum(np.asarray(m.capped)))}", file=sys.stderr)
+    }
 
 
 def main() -> None:
@@ -366,10 +387,10 @@ def main() -> None:
                          "in-kernel RNG (default pallas_sweep.IH_K=12; any K "
                          "keeps the proposal symmetric, smaller K = fewer "
                          "prng draws, shorter tails)")
+    ap.add_argument("--no-rng-gate", action="store_true",
+                    help="skip the in-bench quick statistical RNG gate "
+                         "(rng_gate field becomes 'skipped')")
     args = ap.parse_args()
-    if args.ih_k is not None:
-        from mcjax.ops import pallas_sweep as _ps
-        _ps.IH_K = args.ih_k
 
     # Measured-winner defaults (docs/PERF.md round 3 + cont.): the fused
     # in-kernel halo DMA + hardware PRNG combination wins everywhere once
@@ -382,24 +403,44 @@ def main() -> None:
         args.fused = True
     if args.neighbor_unroll is None:
         args.neighbor_unroll = 26 if args.workload in ("lj3d", "ka3d") else 2
+    if args.ih_k is None:
+        # 3D gaussian proposals: K=8 passed the full statistical gate
+        # (validate_in_kernel_rng.py --ih-k 8, round 4) and is +7% on lj3d
+        # n_M=15; 2D stays on the library default (uniform proposals never
+        # draw gaussians, so K is moot there)
+        args.ih_k = 8 if args.workload in ("lj3d", "ka3d") else 0
+    if args.ih_k:
+        from mcjax.ops import pallas_sweep as _ps
+        _ps.IH_K = args.ih_k  # keep module default consistent (aux paths)
+
+    def emit(result: dict) -> None:
+        if args.no_rng_gate or not args.in_kernel_rng or \
+                args.workload in ("reference-lj", "ecmc"):
+            result["rng_gate"] = "skipped"
+        else:
+            result["rng_gate"] = run_rng_gate(args.ih_k)
+        print(json.dumps(result))
 
     if args.workload == "ecmc":
         n = args.n if args.n != 1_048_576 else 4096
-        bench_ecmc(n, args.replicas, args.chains, min(args.phi, 0.6))
+        emit(bench_ecmc(n, args.replicas, args.chains, min(args.phi, 0.6)))
         return
     if args.workload == "lj3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
-        bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
-                   args.nmax or 24,
-                   args.tile_rows or 16, args.neighbor_unroll,
-                   args.pallas_shift,
-                   args.slot_group or 2, args.in_kernel_rng, args.fused)
+        emit(bench_lj3d(n, min(args.sweeps, 30), args.moves or 60,
+                        args.nmax or 24,
+                        args.tile_rows or 16, args.neighbor_unroll,
+                        args.pallas_shift,
+                        args.slot_group or 2, args.in_kernel_rng, args.fused,
+                        args.ih_k))
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
-        bench_ka3d(n, min(args.sweeps, 30), args.moves or 60,
-                   args.nmax or 38, args.tile_rows, args.slot_group or 4,
-                   args.fused, args.in_kernel_rng, args.neighbor_unroll)
+        emit(bench_ka3d(n, min(args.sweeps, 30), args.moves or 60,
+                        args.nmax or 38, args.tile_rows,
+                        args.slot_group or 4,
+                        args.fused, args.in_kernel_rng,
+                        args.neighbor_unroll, args.ih_k))
         return
     if args.slot_group is None:
         args.slot_group = 1   # 2D hard-disk: grouping hurts (r3 tuning)
@@ -410,7 +451,7 @@ def main() -> None:
 
     if args.workload == "reference-lj":
         eng = args.engine if args.engine != "auto" else "xla"
-        bench_reference_lj(eng, min(args.sweeps, 200))
+        emit(bench_reference_lj(eng, min(args.sweeps, 200)))
         return
 
     cfg, pot, state = build(args.n, args.phi, args.wfac, args.nmax, args.moves)
@@ -431,7 +472,8 @@ def main() -> None:
             return run_sweeps_pallas(cfg, pot, state, sweeps, args.tile_rows,
                                      128, False, args.pallas_shift,
                                      args.neighbor_unroll, args.slot_group,
-                                     args.in_kernel_rng, args.fused)
+                                     args.in_kernel_rng, args.fused,
+                                     args.ih_k)
     else:
         from mcjax.ops.sweep import run_sweeps as runner
 
@@ -458,6 +500,10 @@ def main() -> None:
         "unit": "moves/s",
         "vs_baseline": moves_per_s / REFERENCE_MOVES_PER_S,
     }
+    if args.no_rng_gate or engine != "pallas" or not args.in_kernel_rng:
+        result["rng_gate"] = "skipped"
+    else:
+        result["rng_gate"] = run_rng_gate(args.ih_k)
     print(json.dumps(result))
     print(f"# {args.sweeps} sweeps in {dt:.3f}s; acceptance "
           f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "

@@ -387,7 +387,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.ih_k is not None:
-        # set BEFORE any kernel trace — IH_K is read at trace time
+        if not args.in_kernel_rng:
+            # the host-RNG path never reads IH_K — a silent no-op would let
+            # a user "tune" K without changing anything (ADVICE r3)
+            raise SystemExit("--ih-k only affects the in-kernel hardware "
+                             "PRNG; pass --in-kernel-rng (and --engine "
+                             "pallas) with it")
+        # also set the module default so any code path that doesn't thread
+        # the explicit ih_k argument (e.g. auxiliary drivers) agrees with it
         from mcjax.ops import pallas_sweep as _ps
         _ps.IH_K = args.ih_k
 
@@ -466,7 +473,8 @@ def main(argv=None) -> int:
 
         from mcjax.ops.pallas_sweep import run_sweeps_pallas
         runner = partial(run_sweeps_pallas, interpret=interpret,
-                         in_kernel_rng=args.in_kernel_rng, fused=args.fused)
+                         in_kernel_rng=args.in_kernel_rng, fused=args.fused,
+                         ih_k=args.ih_k or 0)
     elif mixture:
         from mcjax.ops.mixture import run_sweeps_mixture as runner
     else:

@@ -92,7 +92,7 @@ def _ih_k() -> int:
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None, neighbor_unroll: int = 1,
                  slot_group: int = 8, use_scale: bool = False,
-                 in_kernel_rng: bool = False, field=None):
+                 in_kernel_rng: bool = False, field=None, ih_k: int = 0):
     """Build the kernel body (closure over static config/potential).
 
     ILP design (round 3): pair slots are processed in GROUPS of
@@ -150,7 +150,15 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
 
     gaussian = cfg.proposal == "gaussian"
     step = cfg.step_size
-    IH_K = _ih_k()  # uniforms per Irwin-Hall gaussian component (ik-RNG)
+    # uniforms per Irwin-Hall gaussian component (ik-RNG): the explicit
+    # ``ih_k`` argument (threaded from run_sweeps_pallas's jit cache key)
+    # wins; 0 falls back to the module default IH_K
+    if ih_k:
+        if not (isinstance(ih_k, int) and 2 <= ih_k <= 64):
+            raise ValueError(f"ih_k must be an int in [2, 64], got {ih_k!r}")
+        IH_K = ih_k
+    else:
+        IH_K = _ih_k()
 
     def body(own_ref, occ_ref, nbr_ref, nbrocc_ref, lb_ref, pick_ref,
              disp_ref, accu_ref, seed_ref, beta_ref, scale2_ref,
@@ -208,7 +216,11 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     return _uniform_01(pltpu.prng_random_bits(occ.shape))
 
                 pick = draw()
-                accu_m = draw()
+                # pure hard-core accept rule never reads a uniform — skip
+                # the draw entirely (the host-RNG path does the same via
+                # need_acc; NOT a stream-compatible change vs earlier
+                # rounds' in-kernel runs, which drew and discarded it)
+                accu_m = draw() if energetic else None
                 disp_m = []
                 if gaussian:
                     # Irwin-Hall sum of IH_K uniforms per component
@@ -502,7 +514,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          vma: tuple[str, ...] | None = None,
                          neighbor_unroll: int = 1,
                          slot_group: int = 8,
-                         in_kernel_rng: bool = False
+                         in_kernel_rng: bool = False,
+                         ih_k: int = 0
                          ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for sweep.color_substep backed by the Pallas kernel.
 
@@ -554,7 +567,11 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
     # (21, 21, 21) run XLA elementwise ops at ~16% of the lanes.
     # in_kernel_rng instead feeds the kernel the raw key data and draws from
     # the TPU's hardware PRNG per tile (VERDICT r2 item 2) — NOT bitwise
-    # comparable to the XLA engine; gated statistically (tests/test_pallas).
+    # comparable to the XLA engine.  It is gated STATISTICALLY, on the real
+    # TPU only (the hardware PRNG does not exist in interpret mode, so no
+    # suite test covers it): scripts/validate_in_kernel_rng.py runs the
+    # acceptance z-test + dE-anchor + EOS-parity checks, and bench.py re-runs
+    # a quick variant every benchmark, recording ``rng_gate`` in the output.
     use_field = field is not None
     need_acc = pot.has_energy or (use_field and field.has_energy)
     if in_kernel_rng:
@@ -608,7 +625,7 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
         origin_arr = (jnp.zeros((1, dim), jnp.float32) if origin is None
                       else jnp.asarray(origin, jnp.float32).reshape(1, dim))
     kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
-                          slot_group, use_scale, in_kernel_rng, field)
+                          slot_group, use_scale, in_kernel_rng, field, ih_k)
     grid = (rp // tile_rows, cp // tile_cols)
 
     def bspec(lead):
@@ -717,7 +734,8 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
                                interpret: bool = False,
                                neighbor_unroll: int = 1,
                                slot_group: int = 8,
-                               in_kernel_rng: bool = False
+                               in_kernel_rng: bool = False,
+                               ih_k: int = 0
                                ) -> tuple[jax.Array, jax.Array, jax.Array,
                                           jax.Array]:
     """color_substep with IN-KERNEL neighbor reads — no materialized stack.
@@ -745,7 +763,7 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
         cfg, pot, color, ext3, exto3, key, beta, scale, field, origin,
         tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
         neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-        in_kernel_rng=in_kernel_rng)
+        in_kernel_rng=in_kernel_rng, ih_k=ih_k)
     own_new = own_new.reshape((n_planes, cfg.nmax) + pos.shape[3:])
     return own_new, de, n_acc, n_prop
 
@@ -807,7 +825,8 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
                 origin: jax.Array | None = None,
                 *, tile_rows: int = 8, tile_cols: int = 128,
                 interpret: bool = False, neighbor_unroll: int = 1,
-                slot_group: int = 8, in_kernel_rng: bool = False
+                slot_group: int = 8, in_kernel_rng: bool = False,
+                ih_k: int = 0
                 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused sub-sweep on the ring-extended state; returns the updated own
     planes FLAT ([n_planes*nmax, P]) plus (de, n_acc, n_prop).
@@ -889,7 +908,8 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
                       else jnp.asarray(origin, jnp.float32).reshape(1, dim))
 
     base_kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
-                               slot_group, use_scale, in_kernel_rng, field)
+                               slot_group, use_scale, in_kernel_rng, field,
+                               ih_k)
     body = base_kernel.body
     TR, TC = tile_rows, tile_cols
     PN = n_planes * nmax
@@ -1072,7 +1092,7 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
 def make_fused_substep(tile_rows: int = 8, tile_cols: int = 128,
                        interpret: bool = False,
                        neighbor_unroll: int = 1, slot_group: int = 8,
-                       in_kernel_rng: bool = False):
+                       in_kernel_rng: bool = False, ih_k: int = 0):
     """A color_substep-compatible wrapper around the fused (in-kernel DMA)
     sub-sweep.  Single-chip flat path only; signature-compatible with
     sweep.mc_sweep's substep_fn (shift_fn/block_offset must stay default)."""
@@ -1086,7 +1106,7 @@ def make_fused_substep(tile_rows: int = 8, tile_cols: int = 128,
             field=field, origin=origin,
             tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
             neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-            in_kernel_rng=in_kernel_rng)
+            in_kernel_rng=in_kernel_rng, ih_k=ih_k)
     return substep
 
 
@@ -1094,7 +1114,7 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
                      n_sweeps: int, tile_rows: int = 16,
                      tile_cols: int = 128, interpret: bool = False,
                      neighbor_unroll: int = 1, slot_group: int = 8,
-                     in_kernel_rng: bool = False
+                     in_kernel_rng: bool = False, ih_k: int = 0
                      ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """Fused-engine run loop carrying the RING-EXTENDED state across the
     whole scan.
@@ -1122,7 +1142,7 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
             cfg, pot, c, ext3, exto3, k, tile_rows=tile_rows,
             tile_cols=tile_cols, interpret=interpret,
             neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-            in_kernel_rng=in_kernel_rng)
+            in_kernel_rng=in_kernel_rng, ih_k=ih_k)
 
     branches = [partial(substep_branch, c) for c in range(n_colors)]
 
@@ -1213,7 +1233,7 @@ def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
                         interpret: bool = False,
                         vma: tuple[str, ...] | None = None,
                         neighbor_unroll: int = 1, slot_group: int = 8,
-                        in_kernel_rng: bool = False):
+                        in_kernel_rng: bool = False, ih_k: int = 0):
     """A color_substep-compatible function with chosen tiling.
 
     ``vma``: mesh axis names the state varies over when running inside
@@ -1221,7 +1241,7 @@ def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
     return partial(pallas_color_substep, tile_rows=tile_rows,
                    tile_cols=tile_cols, interpret=interpret, vma=vma,
                    neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-                   in_kernel_rng=in_kernel_rng)
+                   in_kernel_rng=in_kernel_rng, ih_k=ih_k)
 
 
 def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
@@ -1234,12 +1254,13 @@ def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
     return 8
 
 
-@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
                       n_sweeps: int, tile_rows: int = 0, tile_cols: int = 128,
                       interpret: bool = False, pallas_shift: bool = False,
                       neighbor_unroll: int = 1, slot_group: int = 8,
-                      in_kernel_rng: bool = False, fused: bool = False
+                      in_kernel_rng: bool = False, fused: bool = False,
+                      ih_k: int = 0
                       ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """run_sweeps with the Pallas sub-sweep kernel (single chip).
 
@@ -1249,6 +1270,12 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
     but measured slightly slower at N=1M (its donor prep re-does the
     lane-axis rolls; docs/PERF.md round-2 breakdown), so the XLA shift stays
     the default.
+
+    ``ih_k`` (static, part of the jit cache key) sets the Irwin-Hall draw
+    count for the in-kernel gaussian RNG; 0 = module default IH_K.  Prefer
+    this over mutating pallas_sweep.IH_K, which is read at trace time and
+    NOT part of any cache key (a later change silently reuses the kernel
+    compiled with the old K).
     """
     if tile_rows == 0:
         tile_rows = auto_tile_rows(cfg, tile_cols)
@@ -1257,17 +1284,17 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
         # full-state ring rebuild per sub-step (bitwise equal; docstring)
         return run_sweeps_fused(cfg, pot, state, n_sweeps, tile_rows,
                                 tile_cols, interpret, neighbor_unroll,
-                                slot_group, in_kernel_rng)
+                                slot_group, in_kernel_rng, ih_k)
     if fused:
         substep = make_fused_substep(tile_rows, tile_cols, interpret,
                                      neighbor_unroll=neighbor_unroll,
                                      slot_group=slot_group,
-                                     in_kernel_rng=in_kernel_rng)
+                                     in_kernel_rng=in_kernel_rng, ih_k=ih_k)
     else:
         substep = make_pallas_substep(tile_rows, tile_cols, interpret,
                                       neighbor_unroll=neighbor_unroll,
                                       slot_group=slot_group,
-                                      in_kernel_rng=in_kernel_rng)
+                                      in_kernel_rng=in_kernel_rng, ih_k=ih_k)
     shift_rebin_fn = None
     if pallas_shift:
         from mcjax.ops.pallas_shift import pallas_shift_rebin

@@ -11,10 +11,16 @@ hardware PRNG does not exist in interpret mode):
      the Metropolis decisions, e.g. a malformed uniform);
   3. hard-disk contact EOS parity (Z from g(d+)) between RNG modes.
 
-Run:  python scripts/validate_in_kernel_rng.py        (needs the TPU)
-Exits non-zero on failure; prints one summary line per check.
+Run:  python scripts/validate_in_kernel_rng.py [--ih-k K] [--no-fused]
+Exits non-zero on failure; prints one summary line per check, each carrying
+the effective (IH_K, fused) configuration actually tested.
+
+``run_gate(...)`` is importable: bench.py calls it with quick=True so every
+BENCH_r*.json records an rng_gate verdict from the same process/device that
+produced the headline number (VERDICT r3 weak #2b).
 """
 
+import argparse
 import math
 import os
 import sys
@@ -41,31 +47,43 @@ from mcjax.ops.cells import stratified_positions
 from mcjax.ops.pallas_sweep import run_sweeps_pallas
 from mcjax.ops.sweep import total_energy_cells
 
-FAIL = 0
+
+class Gate:
+    """Collects named pass/fail checks; prints one line per check."""
+
+    def __init__(self, tag: str, quiet: bool = False):
+        self.tag = tag
+        self.quiet = quiet
+        self.failures: list[str] = []
+        self.checks = 0
+
+    def check(self, name, ok, detail):
+        self.checks += 1
+        if not ok:
+            self.failures.append(name)
+        if not self.quiet:
+            print(f"{'PASS' if ok else 'FAIL'}  {name} [{self.tag}]: {detail}")
+
+    @property
+    def ok(self) -> bool:
+        return self.checks > 0 and not self.failures
 
 
-def check(name, ok, detail):
-    global FAIL
-    print(f"{'PASS' if ok else 'FAIL'}  {name}: {detail}")
-    if not ok:
-        FAIL = 1
-
-
-def acc_rate(m):
+def _acc_rate(m):
     a = int(np.sum(np.asarray(m.accepted, np.int64)))
     p = int(np.sum(np.asarray(m.proposed, np.int64)))
     return a / p, p
 
 
-def run(cfg, pot, state, sweeps, in_kernel):
+def _run(cfg, pot, state, sweeps, in_kernel, fused, ih_k):
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, 16, 128, False, False,
-                              2, 1, in_kernel)
+                              2, 1, in_kernel, fused, ih_k)
     _ = float(jnp.sum(m.delta_e))
     return st, m
 
 
-def hard_disk_case():
-    n, phi = 262144, 0.5
+def hard_disk_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
+    n, phi = (65536 if quick else 262144), 0.5
     box = math.sqrt(n * math.pi / 4.0 / phi)
     cps = int(box // 2.0)
     cps -= cps % 2
@@ -74,30 +92,30 @@ def hard_disk_case():
                     beta=1.0, seed=0)
     pot = HardSphere(1.0)
     st0 = init_state(cfg)
-    sweeps = 60
-    st_h, m_h = run(cfg, pot, st0, sweeps, False)
-    st_k, m_k = run(cfg, pot, st0, sweeps, True)
+    sweeps = 40 if quick else 60
+    st_h, m_h = _run(cfg, pot, st0, sweeps, False, fused, ih_k)
+    st_k, m_k = _run(cfg, pot, st0, sweeps, True, fused, ih_k)
 
-    r_h, p_h = acc_rate(m_h)
-    r_k, p_k = acc_rate(m_k)
+    r_h, p_h = _acc_rate(m_h)
+    r_k, p_k = _acc_rate(m_k)
     # pooled two-proportion z (samples are correlated within a chain, so
     # use a generous 10x-sigma budget — this catches gross bias, the job)
     pool = (r_h + r_k) / 2
     se = math.sqrt(pool * (1 - pool) * (1 / p_h + 1 / p_k))
     z = abs(r_h - r_k) / se
-    check("hard-disk acceptance parity", z < 10.0,
-          f"host {r_h:.5f} vs in-kernel {r_k:.5f} (z={z:.2f}, "
-          f"{p_h:.2e} proposals each)")
+    g.check("hard-disk acceptance parity", z < 10.0,
+            f"host {r_h:.5f} vs in-kernel {r_k:.5f} (z={z:.2f}, "
+            f"{p_h:.2e} proposals each)")
 
     from mcjax.utils.observables import hard_disk_eos_state
     z_h = hard_disk_eos_state(cfg, (st_h.pos, st_h.occ), 1.0)
     z_k = hard_disk_eos_state(cfg, (st_k.pos, st_k.occ), 1.0)
-    check("hard-disk contact EOS parity", abs(z_h - z_k) / z_h < 0.05,
-          f"Z host {z_h:.3f} vs in-kernel {z_k:.3f}")
+    g.check("hard-disk contact EOS parity", abs(z_h - z_k) / z_h < 0.05,
+            f"Z host {z_h:.3f} vs in-kernel {z_k:.3f}")
 
 
-def lj_case():
-    n, rho = 110592, 0.8
+def lj_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
+    n, rho = (32768 if quick else 110592), 0.8
     box = (n / rho) ** (1.0 / 3.0)
     cps = int(box // 2.5)
     cps -= cps % 2
@@ -107,35 +125,72 @@ def lj_case():
     pot = LennardJones(r_cut=2.5)
     st0 = init_state(cfg, positions=stratified_positions(cfg))
     e0 = float(total_energy_cells(cfg, pot, st0.pos, st0.occ))
-    sweeps = 30
+    sweeps = 20 if quick else 30
 
-    st_h, m_h = run(cfg, pot, st0, sweeps, False)
-    st_k, m_k = run(cfg, pot, st0, sweeps, True)
-    r_h, _ = acc_rate(m_h)
-    r_k, _ = acc_rate(m_k)
-    check("3D LJ acceptance parity", abs(r_h - r_k) < 0.01,
-          f"host {r_h:.5f} vs in-kernel {r_k:.5f}")
+    st_h, m_h = _run(cfg, pot, st0, sweeps, False, fused, ih_k)
+    st_k, m_k = _run(cfg, pot, st0, sweeps, True, fused, ih_k)
+    r_h, _ = _acc_rate(m_h)
+    r_k, _ = _acc_rate(m_k)
+    g.check("3D LJ acceptance parity", abs(r_h - r_k) < 0.01,
+            f"host {r_h:.5f} vs in-kernel {r_k:.5f}")
 
-    # dE-anchor: accumulated trace must meet the exact recompute
+    # dE-anchor: accumulated trace must meet the exact recompute. This is
+    # the check that caught the K>=6 multi-plane prng_random_bits
+    # inconsistency (docs/PERF.md round 3) — any malformed draw breaks the
+    # telescoped identity at rel ~1e-1.
     for tag, st, m in (("host", st_h, m_h), ("in-kernel", st_k, m_k)):
         e_tr = e0 + float(np.sum(np.asarray(m.delta_e, np.float64)))
         e_ex = float(total_energy_cells(cfg, pot, st.pos, st.occ))
         rel = abs(e_tr - e_ex) / max(abs(e_ex), 1.0)
-        check(f"3D LJ dE-anchor ({tag} RNG)", rel < 5e-4,
-              f"trace {e_tr:.1f} vs exact {e_ex:.1f} (rel {rel:.2e})")
+        g.check(f"3D LJ dE-anchor ({tag} RNG)", rel < 5e-4,
+                f"trace {e_tr:.1f} vs exact {e_ex:.1f} (rel {rel:.2e})")
     # equilibrium energies agree between RNG modes
     ee_h = float(total_energy_cells(cfg, pot, st_h.pos, st_h.occ)) / n
     ee_k = float(total_energy_cells(cfg, pot, st_k.pos, st_k.occ)) / n
-    check("3D LJ energy/atom parity", abs(ee_h - ee_k) < 0.05,
-          f"host {ee_h:.4f} vs in-kernel {ee_k:.4f}")
+    g.check("3D LJ energy/atom parity", abs(ee_h - ee_k) < 0.05,
+            f"host {ee_h:.4f} vs in-kernel {ee_k:.4f}")
+
+
+def run_gate(ih_k: int = 0, fused: bool = True, quick: bool = False,
+             quiet: bool = False) -> dict:
+    """Run the full statistical gate; returns a JSON-able summary dict.
+
+    ``ih_k=0`` means the library default (pallas_sweep.IH_K). ``quick``
+    shrinks systems/sweeps ~4x for the in-bench run (bench.py rng_gate) —
+    the z/anchor thresholds are sized for the quick run too.
+    """
+    from mcjax.ops import pallas_sweep as _ps
+
+    eff_k = ih_k if ih_k else _ps.IH_K
+    tag = f"ih_k={eff_k} fused={fused}{' quick' if quick else ''}"
+    g = Gate(tag, quiet=quiet)
+    hard_disk_case(g, fused, ih_k, quick)
+    lj_case(g, fused, ih_k, quick)
+    return {"ok": g.ok, "ih_k": eff_k, "fused": fused, "quick": quick,
+            "checks": g.checks, "failures": g.failures}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--ih-k", type=int, default=0,
+                    help="Irwin-Hall uniforms per gaussian component "
+                         "(0 = library default pallas_sweep.IH_K)")
+    ap.add_argument("--fused", action="store_true", default=True,
+                    help="gate the fused (in-kernel DMA) engine — the "
+                         "production default (docs/PERF.md round 3 cont.)")
+    ap.add_argument("--no-fused", dest="fused", action="store_false",
+                    help="gate the classic per-substep Pallas engine")
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller systems/sweeps (the in-bench variant)")
+    args = ap.parse_args()
+
+    res = run_gate(args.ih_k, args.fused, args.quick)
+    status = "PASS" if res["ok"] else "FAIL"
+    print(f"{status}  rng gate summary: ih_k={res['ih_k']} "
+          f"fused={res['fused']} quick={res['quick']} "
+          f"({res['checks']} checks, failures={res['failures']})")
+    return 0 if res["ok"] else 1
 
 
 if __name__ == "__main__":
-    # optional Irwin-Hall K override (gates bench.py --ih-k settings): the
-    # host-RNG arm is K-independent, so every check doubles as a K gate
-    if len(sys.argv) > 2 and sys.argv[1] == "--ih-k":
-        import mcjax.ops.pallas_sweep as _ps
-        _ps.IH_K = int(sys.argv[2])
-    hard_disk_case()
-    lj_case()
-    sys.exit(FAIL)
+    sys.exit(main())
