@@ -82,6 +82,20 @@ def _uniform_01(bits):
 # BEFORE tracing; it is read at trace time, not kernel-call time.
 IH_K = 12
 
+# Profiling-only ablation switch (scripts/profile_fused.py). The axon tunnel
+# exposes no jax profiler, so kernel cost attribution is done by compiling
+# variants with one stage disabled and differencing wall times.  Read at
+# TRACE time and NOT part of any jit cache key: set it only in a fresh
+# subprocess (the profile script does).  Values:
+#   ""        - production kernel
+#   "kernel"  - DMA in, then copy own planes out (no compose, no moves)
+#   "dma"     - skip the apron DMAs (scratch garbage; wrong physics)
+#   "compose" - skip the neighbor window composition (nbrs garbage)
+#   "rolls"   - compose without lane rotations/edge corrections
+#   "rng"     - in-kernel draws replaced by a constant plane
+#   "pairs"   - moves run but all pair loops skipped (de=0, no overlap)
+ABLATE = ""
+
 
 def _ih_k() -> int:
     if not (isinstance(IH_K, int) and 2 <= IH_K <= 64):
@@ -212,8 +226,12 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 # round-trips, while the (4,...) 2D-gaussian and (5,...)
                 # 3D-uniform draws stayed clean at ~1e-5.  Per-plane draws
                 # restore the anchor (scripts/validate_in_kernel_rng.py).
-                def draw():
-                    return _uniform_01(pltpu.prng_random_bits(occ.shape))
+                if ABLATE == "rng":
+                    def draw():
+                        return jnp.full(occ.shape, 0.37, jnp.float32)
+                else:
+                    def draw():
+                        return _uniform_01(pltpu.prng_random_bits(occ.shape))
 
                 pick = draw()
                 # pure hard-core accept rule never reads a uniform — skip
@@ -375,7 +393,9 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                         if hard else (None, None))
                 return de_p, ov_p
 
-            if unroll_neighbors:
+            if ABLATE == "pairs":
+                pass  # profiling: move loop without any pair work
+            elif unroll_neighbors:
                 for k in range(n_k):
                     de_parts, ov_parts = nbr_cell_pairs(k, de_parts, ov_parts)
             else:
@@ -396,7 +416,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     de_parts, ov_parts = nbr_cell_pairs(k, de_parts, ov_parts)
 
             # own-cell pairs (excluding the moving particle)
-            for j0, g in groups:
+            for j0, g in (() if ABLATE == "pairs" else groups):
                 is_tail = g != G
                 ji = giota_t if is_tail else giota
                 valid = (ji < (occ - j0)[None]) & (ji != (p - j0)[None])
@@ -826,7 +846,11 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
                 *, tile_rows: int = 8, tile_cols: int = 128,
                 interpret: bool = False, neighbor_unroll: int = 1,
                 slot_group: int = 8, in_kernel_rng: bool = False,
-                ih_k: int = 0
+                ih_k: int = 0,
+                p_local: int | None = None,
+                lb_local: jax.Array | None = None,
+                masks_local: jax.Array | None = None,
+                vma: tuple[str, ...] | None = None
                 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused sub-sweep on the ring-extended state; returns the updated own
     planes FLAT ([n_planes*nmax, P]) plus (de, n_acc, n_prop).
@@ -834,15 +858,27 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
     The own/occupancy tiles are zero-cost SLICES of the ring state (the
     ring's [M2, M2+padded) rows are exactly the flat cell range, wrapped
     beyond P); occupancy is re-zeroed on the wrapped tail so padding cells
-    are inert (no accepts, no dE, no proposals)."""
+    are inert (no accepts, no dE, no proposals).
+
+    Shard-local mode (mcjax.parallel.fused): ``p_local`` is this shard's
+    flat cell count (a contiguous axis-0 slice of the global grid), and the
+    ring apron holds NEIGHBOR-shard cells (ppermuted by the caller) instead
+    of the single-chip periodic wrap — the window composition is identical
+    because the global ring property ring[x] = flat[(start+x-M2) mod P]
+    still holds.  ``lb_local`` [dim, p_local] and ``masks_local``
+    [2*dim, p_local] are the shard's slices of the per-cell lower bounds
+    and destination edge masks (trace-time np constants on a single chip,
+    shard-varying inputs under shard_map).  ``vma``: mesh axis names the
+    outputs vary over (required for compiled shard_map runs)."""
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     n_k = cfg.n_neighbors - 1
     assert tile_cols == 128, "fused path requires 128-lane tiles"
     n_planes = ext3.shape[1] // nmax
-    n_cells = cfg.cells_per_color
+    n_cells = p_local if p_local is not None else cfg.cells_per_color
     P = n_cells
 
-    lb = jnp.asarray(cells._flat_lower_bounds_np(cfg, color))
+    lb = (lb_local if lb_local is not None
+          else jnp.asarray(cells._flat_lower_bounds_np(cfg, color)))
 
     strides, maxoff, M2 = _fused_geometry(cfg)
     bs = cfg.block_shape
@@ -883,8 +919,9 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
         + jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 1)
     occ_p = jnp.where(cell_idx < P, occ_rows, 0)[None]
     lb_p = to_tiles(lb, dim)
-    masks_p = jnp.asarray(_fused_masks_np(bs, padded)).reshape(
-        2 * dim, rp, cp)
+    masks_p = (to_tiles(masks_local, 2 * dim) if masks_local is not None
+               else jnp.asarray(_fused_masks_np(bs, padded)).reshape(
+                   2 * dim, rp, cp))
     if not in_kernel_rng:
         pick_p = to_tiles(pick_u, n_m)
         disp_p = to_tiles(disp, n_m * dim)
@@ -935,31 +972,75 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
             accu_ref = rng_refs[2] if need_acc else None
             seed_ref = None
 
-        i0r = pl.program_id(0) * TR
-        for u in range(U):
+        # Double-buffered apron DMA: while tile t computes, tile t+1's
+        # super-ranges stream into the other scratch slot.  Safe across the
+        # whole grid: within one per-color call ext3/exto3 are READ-ONLY
+        # (the own-color update leaves through the output pipeline), so
+        # prefetch has no RAW hazard.  Without this every tile stalled on
+        # ~U*(PN+1)*L*4 bytes of HBM reads before composing.
+        t = pl.program_id(0)
+        nt = pl.num_programs(0)
+        slot = jax.lax.rem(t, 2)
+
+        def dma_pair(tt, s, u):
             c = used[u]
-            pltpu.make_async_copy(
-                extp_ref.at[c, :, pl.ds(i0r, LR), :], sup_pos.at[u],
-                sems.at[2 * u]).start()
-            pltpu.make_async_copy(
-                exto_ref.at[c, pl.ds(i0r, LR), :], sup_occ.at[u],
-                sems.at[2 * u + 1]).start()
-        for u in range(U):
-            c = used[u]
-            pltpu.make_async_copy(
-                extp_ref.at[c, :, pl.ds(i0r, LR), :], sup_pos.at[u],
-                sems.at[2 * u]).wait()
-            pltpu.make_async_copy(
-                exto_ref.at[c, pl.ds(i0r, LR), :], sup_occ.at[u],
-                sems.at[2 * u + 1]).wait()
+            return (pltpu.make_async_copy(
+                        extp_ref.at[c, :, pl.ds(tt * TR, LR), :],
+                        sup_pos.at[s, u], sems.at[s, 2 * u]),
+                    pltpu.make_async_copy(
+                        exto_ref.at[c, pl.ds(tt * TR, LR), :],
+                        sup_occ.at[s, u], sems.at[s, 2 * u + 1]))
+
+        if ABLATE != "dma":
+            even = slot == 0
+
+            def start_all(tt, s):
+                for u in range(U):
+                    a, b = dma_pair(tt, s, u)
+                    a.start()
+                    b.start()
+
+            def wait_all(tt, s):
+                for u in range(U):
+                    a, b = dma_pair(tt, s, u)
+                    a.wait()
+                    b.wait()
+
+            # scratch-slot and semaphore indices stay STATIC (Mosaic has no
+            # dynamic semaphore indexing); parity picks the branch
+            @pl.when(t == 0)
+            def _():
+                start_all(t, 0)
+
+            @pl.when((t + 1 < nt) & even)
+            def _():
+                start_all(t + 1, 1)
+
+            @pl.when((t + 1 < nt) & jnp.logical_not(even))
+            def _():
+                start_all(t + 1, 0)
+
+            @pl.when(even)
+            def _():
+                wait_all(t, 0)
+
+            @pl.when(jnp.logical_not(even))
+            def _():
+                wait_all(t, 1)
+
+        if ABLATE == "kernel":
+            out_ref[:] = own_ref[:]
+            de_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+            acc_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.int32)
+            return
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1)
 
         def window_pos(u, a):
             r0, sh = divmod(a, 128)
             if sh == 0:
-                return sup_pos[u, :, r0:r0 + TR, :]
-            w = sup_pos[u, :, r0:r0 + TR + 1, :]
+                return sup_pos[slot, u, :, r0:r0 + TR, :]
+            w = sup_pos[slot, u, :, r0:r0 + TR + 1, :]
             ua = jnp.roll(w[:, :TR], -sh, axis=2)
             ub = jnp.roll(w[:, 1:TR + 1], -sh, axis=2)
             return jnp.where((lane < 128 - sh)[None], ua, ub)
@@ -967,8 +1048,8 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
         def window_occ(u, a):
             r0, sh = divmod(a, 128)
             if sh == 0:
-                return sup_occ[u, r0:r0 + TR, :]
-            w = sup_occ[u, r0:r0 + TR + 1, :]
+                return sup_occ[slot, u, r0:r0 + TR, :]
+            w = sup_occ[slot, u, r0:r0 + TR + 1, :]
             ua = jnp.roll(w[:TR], -sh, axis=1)
             ub = jnp.roll(w[1:TR + 1], -sh, axis=1)
             return jnp.where(lane < 128 - sh, ua, ub)
@@ -976,9 +1057,15 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
         def dmask(k, s):
             return mask_ref[2 * k + (0 if s > 0 else 1)]
 
-        for j, (src, shifts) in enumerate(plan):
+        for j, (src, shifts) in enumerate(
+                () if ABLATE == "compose" else plan):
             u = used.index(src)
             a0 = M2 + sum(s * strides[k] for k, s in enumerate(shifts))
+            if ABLATE == "rolls":
+                # profiling: windows without rotation/corrections/unwrap
+                nbrs[j * PN:(j + 1) * PN] = sup_pos[slot, u, :, :TR, :]
+                nbro[j] = sup_occ[slot, u, :TR, :]
+                continue
             v = window_pos(u, a0)
             o = window_occ(u, a0)
             corr = [(k, shifts[k]) for k in range(1, dim) if shifts[k]]
@@ -1030,10 +1117,12 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    vma_set = frozenset(vma) if vma else None
     out_shapes = (
-        jax.ShapeDtypeStruct((n_planes * nmax, rp, cp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32),
+        jax.ShapeDtypeStruct((n_planes * nmax, rp, cp), jnp.float32,
+                             vma=vma_set),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32, vma=vma_set),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32, vma=vma_set),
     )
     ospec = [sspec(dim)] if use_field else []
     oarg = (origin_arr,) if use_field else ()
@@ -1057,14 +1146,14 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
                 beta_arr, scale2_arr) + oarg + (ext3, exto3)
 
     scratch = [
-        pltpu.VMEM((U, n_planes * nmax, LR, 128), jnp.float32),
-        pltpu.VMEM((U, LR, 128), jnp.int32),
+        pltpu.VMEM((2, U, n_planes * nmax, LR, 128), jnp.float32),
+        pltpu.VMEM((2, U, LR, 128), jnp.int32),
         pltpu.VMEM((n_k * n_planes * nmax, TR, TC), jnp.float32),
         pltpu.VMEM((n_k, TR, TC), jnp.int32),
-        pltpu.SemaphoreType.DMA((2 * U,)),
+        pltpu.SemaphoreType.DMA((2, 2 * U)),
     ]
     vmem_bytes = (
-        4 * U * (n_planes * nmax + 1) * L
+        2 * 4 * U * (n_planes * nmax + 1) * L
         + 4 * n_k * (n_planes * nmax + 1) * T
         + 2 * 4 * T * (2 * n_planes * nmax + 1 + dim + 2 * dim
                        + n_m * (2 + dim) + 4)
@@ -1114,7 +1203,8 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
                      n_sweeps: int, tile_rows: int = 16,
                      tile_cols: int = 128, interpret: bool = False,
                      neighbor_unroll: int = 1, slot_group: int = 8,
-                     in_kernel_rng: bool = False, ih_k: int = 0
+                     in_kernel_rng: bool = False, ih_k: int = 0,
+                     shard_fold: int | None = None
                      ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """Fused-engine run loop carrying the RING-EXTENDED state across the
     whole scan.
@@ -1130,7 +1220,15 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
     Schedule randomness (color permutation, shift axis/distance) replays
     sweep.mc_sweep's tree exactly, so trajectories are BITWISE equal to
     run_sweeps_pallas(fused=True) via the per-substep path
-    (tests/test_pallas_fused.py)."""
+    (tests/test_pallas_fused.py).
+
+    ``shard_fold``: fold this integer into the substep key tree exactly as
+    mc_sweep folds a shard id.  A single-chip run with shard_fold=0 then
+    draws the SAME streams as shard 0 of a 1-device
+    parallel.fused.make_sharded_run_fused run — the bitwise reference for
+    bench.py's compiled 1-device-mesh fused check (works for the in-kernel
+    RNG too: its seeds are a deterministic function of the substep key and
+    the tile id, and the 1-shard tiling is identical)."""
     n_colors = cfg.n_colors
     P, padded, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
     ext3, exto3 = _ring_state(cfg, state.pos, state.occ, tile_rows,
@@ -1150,6 +1248,8 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
         ext3, exto3, key, sweep, ovf_acc = carry
         key_sweep = jax.random.fold_in(key, sweep)
         k_perm, k_axis, k_dist, k_sub = jax.random.split(key_sweep, 4)
+        if shard_fold is not None:
+            k_sub = jax.random.fold_in(k_sub, shard_fold)
         perm = jax.random.permutation(k_perm, n_colors)
 
         def color_body(i, carry2):
