@@ -27,8 +27,129 @@ import subprocess
 import sys
 
 
+def _hd_config(args, ndev, seed=0, min_width=1.0, nmax=12):
+    from mcjax.core.config import SimConfig
+
+    n, phi = args.n_atoms, args.phi
+    box = math.sqrt(n * math.pi / 4.0 / phi)
+    cps = int(box // min_width)
+    # half_cps divisible by every mesh axis (global device count is a
+    # power of two here: factors are too)
+    cps -= cps % (2 * ndev)
+    if cps < 4:
+        raise ValueError("config too small for the global mesh; raise "
+                         "--n-atoms")
+    return SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                     nmax=nmax, n_moves=4, proposal="uniform",
+                     step_size=0.15, beta=1.0, seed=seed)
+
+
+def _leg_sweep(args, mesh, engine: str) -> str:
+    """Sharded checkerboard sweep leg (XLA or interpret-Pallas kernel):
+    conservation + live acceptance across the process boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import HardSphere
+    from mcjax.parallel import mesh as pmesh, multihost
+
+    cfg = _hd_config(args, jax.device_count())
+    pot = HardSphere(1.0)
+    st = multihost.make_global_state(cfg, init_state(cfg), mesh, ("y", "x"))
+    run = pmesh.make_sharded_run_sweeps(
+        cfg, pot, mesh, ("y", "x"), args.sweeps, engine=engine,
+        interpret=(engine == "pallas"),
+        check_vma=(engine != "pallas"))
+    st2, met = run(st)
+    total = int(jax.jit(lambda x: jnp.sum(x))(st2.occ))
+    accepted = int(jnp.sum(met.accepted))
+    assert total == cfg.n_atoms, f"conservation violated: {total}"
+    assert accepted > 0, "no accepted moves"
+    return f"{engine}: atoms {total}, accepted {accepted}"
+
+
+def _leg_npt(args, mesh) -> str:
+    """Sharded NPT (constant-pressure) leg: the carried anchored energy and
+    the replicated volume decision must agree across processes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import LennardJones
+    from mcjax.ops.npt import NPTState
+    from mcjax.parallel import multihost
+    from mcjax.parallel.mesh import state_sharding
+    from mcjax.parallel.npt import make_sharded_run_npt
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = _hd_config(args, jax.device_count(), seed=1, min_width=2.0,
+                     nmax=20)
+    cfg = __import__("dataclasses").replace(
+        cfg, proposal="gaussian", step_size=0.1, beta=1.0)
+    pot = LennardJones(r_cut=2.0)
+    cfg.validate_against(pot.r_cut)
+    sim = multihost.make_global_state(cfg, init_state(cfg), mesh,
+                                      ("y", "x"))
+    ls = multihost.put_global(np.zeros((), np.float32),
+                              NamedSharding(mesh, P()))
+    nst = NPTState(sim=sim, log_scale=ls)
+    run = make_sharded_run_npt(cfg, pot, mesh, ("y", "x"), pressure=1.0,
+                               n_sweeps=args.sweeps)
+    nst2, ms = run(nst)
+    total = int(jax.jit(lambda x: jnp.sum(x))(nst2.sim.occ))
+    assert total == cfg.n_atoms, f"NPT conservation violated: {total}"
+    e_last = float(np.asarray(ms.energy)[-1])
+    assert np.isfinite(e_last), "NPT carried energy not finite"
+    scale = float(jnp.exp(nst2.log_scale))
+    assert 0.5 < scale < 2.0, f"NPT scale ran away: {scale}"
+    return f"npt: atoms {total}, scale {scale:.4f}, E {e_last:.2f}"
+
+
+def _leg_mixture(args, mesh) -> str:
+    """Sharded binary-mixture leg (species plane rides the halo exchange):
+    per-species conservation across the process boundary."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcjax.models.mixtures import kob_andersen
+    from mcjax.ops.cells import stratified_positions
+    from mcjax.ops.mixture import init_mixture_state
+    from mcjax.parallel import mesh as pmesh, multihost
+
+    cfg = _hd_config(args, jax.device_count(), seed=2, min_width=2.5,
+                     nmax=20)
+    cfg = __import__("dataclasses").replace(
+        cfg, proposal="gaussian", step_size=0.1, beta=1.0 / 2.0)
+    ka = kob_andersen()  # the mixture is dimension-agnostic (pairwise LJ)
+    cfg.validate_against(ka.r_cut)
+    spec = (np.arange(cfg.n_atoms) % 5 == 4).astype(np.int32)
+    st_host = init_mixture_state(cfg, stratified_positions(cfg),
+                                 jnp.asarray(spec))
+    st = multihost.make_global_state(cfg, st_host, mesh, ("y", "x"))
+    run = pmesh.make_sharded_run_sweeps(cfg, ka, mesh, ("y", "x"),
+                                        args.sweeps)
+    st2, met = run(st)
+    total = int(jax.jit(lambda x: jnp.sum(x))(st2.occ))
+    assert total == cfg.n_atoms, f"mixture conservation violated: {total}"
+    # per-species counts survive transport through the halo/shift plumbing
+    from mcjax.ops.mixture import unbin_mixture
+    _, s_out = unbin_mixture(cfg, st2.pos, st2.occ)
+    nb = int(np.sum(np.asarray(s_out) == 1))
+    assert nb == int(spec.sum()), f"species B count {nb} != {spec.sum()}"
+    accepted = int(jnp.sum(met.accepted))
+    assert accepted > 0, "no accepted mixture moves"
+    return f"mixture: atoms {total}, B {nb}, accepted {accepted}"
+
+
 def child_main(args) -> None:
-    """One process of the multi-process dryrun (also the pod entrypoint)."""
+    """One process of the multi-process dryrun (also the pod entrypoint).
+
+    Runs the legs named in --legs on the global cross-process mesh; every
+    leg asserts its own invariants (conservation, live acceptance, carried
+    energies) so a silent cross-process corruption fails the exit code."""
     import jax
 
     # This box's sitecustomize force-registers a remote-TPU backend; the
@@ -44,42 +165,23 @@ def child_main(args) -> None:
                          local_device_count=args.devices_per_process)
     print(multihost.process_summary(), flush=True)
 
-    import jax.numpy as jnp
-
-    from mcjax.core.config import SimConfig
-    from mcjax.core.state import init_state
-    from mcjax.models.potentials import HardSphere
-    from mcjax.parallel import mesh as pmesh
-
-    n = 1024
-    phi = 0.4
-    box = math.sqrt(n * math.pi / 4.0 / phi)
-    cps = int(box // 1.0)
-    # half_cps divisible by every mesh axis (global device count is a
-    # power of two here: factors are too)
-    ndev = jax.device_count()
-    cps -= cps % (2 * ndev)
-    if cps < 4:
-        raise ValueError("config too small for the global mesh")
-    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
-                    nmax=12, n_moves=4, proposal="uniform", step_size=0.15,
-                    beta=1.0, seed=0)
-    pot = HardSphere(1.0)
-
     mesh = multihost.spatial_mesh(("y", "x"))
-    # identical host state in every process (deterministic from cfg.seed)
-    st_host = init_state(cfg)
-    st = multihost.make_global_state(cfg, st_host, mesh, ("y", "x"))
-    run = pmesh.make_sharded_run_sweeps(cfg, pot, mesh, ("y", "x"),
-                                        args.sweeps)
-    st2, met = run(st)
-
-    total = int(jax.jit(lambda x: jnp.sum(x))(st2.occ))
-    accepted = int(jnp.sum(met.accepted))
-    assert total == cfg.n_atoms, f"conservation violated: {total}"
-    assert accepted > 0, "no accepted moves"
-    print(f"process {jax.process_index()}: ok "
-          f"(atoms {total}, accepted {accepted})", flush=True)
+    reports = []
+    for leg in args.legs.split(","):
+        leg = leg.strip()
+        if leg == "xla":
+            reports.append(_leg_sweep(args, mesh, "xla"))
+        elif leg == "pallas":
+            reports.append(_leg_sweep(args, mesh, "pallas"))
+        elif leg == "npt":
+            reports.append(_leg_npt(args, mesh))
+        elif leg == "mixture":
+            reports.append(_leg_mixture(args, mesh))
+        else:
+            raise SystemExit(f"unknown leg {leg!r} "
+                             "(known: xla, pallas, npt, mixture)")
+    print(f"process {jax.process_index()}: ok ({'; '.join(reports)})",
+          flush=True)
     jax.distributed.shutdown()
 
 
@@ -95,7 +197,10 @@ def parent_main(args) -> int:
                "--processes", str(args.processes),
                "--devices-per-process", str(args.devices_per_process),
                "--coordinator", coord,
-               "--sweeps", str(args.sweeps)]
+               "--sweeps", str(args.sweeps),
+               "--legs", args.legs,
+               "--n-atoms", str(args.n_atoms),
+               "--phi", str(args.phi)]
         procs.append(subprocess.Popen(cmd, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))))
     rc = 0
@@ -118,6 +223,12 @@ def main(argv=None) -> int:
     ap.add_argument("--processes", type=int, default=2)
     ap.add_argument("--devices-per-process", type=int, default=4)
     ap.add_argument("--sweeps", type=int, default=3)
+    ap.add_argument("--legs", default="xla",
+                    help="comma list of workload legs each process runs on "
+                         "the global mesh: xla, pallas (interpret kernel), "
+                         "npt, mixture")
+    ap.add_argument("--n-atoms", type=int, default=1024)
+    ap.add_argument("--phi", type=float, default=0.4)
     ap.add_argument("--coordinator", default=None,
                     help="host:port of process 0 (default: localhost)")
     ap.add_argument("--port", type=int, default=None)

@@ -94,6 +94,10 @@ IH_K = 12
 #   "rolls"   - compose without lane rotations/edge corrections
 #   "rng"     - in-kernel draws replaced by a constant plane
 #   "pairs"   - moves run but all pair loops skipped (de=0, no overlap)
+# run-loop level (run_sweeps_fused):
+#   "call"    - skip the pallas_call entirely (own planes pass through)
+#   "ringup"  - skip the per-substep one-color ring update
+#   "shift"   - never grid-shift
 ABLATE = ""
 
 
@@ -1259,12 +1263,21 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
             # hoists OUT of the switch as one dynamic-update-slice — XLA
             # keeps it in-place inside the loop carry (an .at[c].set inside
             # each branch forced a full ext copy per sub-step)
-            own_new, de_i, na_i, np_i = jax.lax.switch(perm[i], branches,
-                                                       e3, exto3, k)
-            ring_c = _ring_one(own_new, P, M2, W).reshape(
-                1, own_new.shape[0], W // 128, 128)
-            e3 = jax.lax.dynamic_update_slice(
-                e3, ring_c, (perm[i], 0, 0, 0))
+            if ABLATE == "call":  # profiling: glue without the kernel
+                PN = e3.shape[1]
+                own_new = jax.lax.dynamic_index_in_dim(
+                    e3, perm[i], 0, keepdims=False
+                ).reshape(PN, W)[:, M2:M2 + P]
+                de_i = jnp.zeros((), jnp.float32)
+                na_i = np_i = jnp.zeros((), jnp.int32)
+            else:
+                own_new, de_i, na_i, np_i = jax.lax.switch(
+                    perm[i], branches, e3, exto3, k)
+            if ABLATE != "ringup":
+                ring_c = _ring_one(own_new, P, M2, W).reshape(
+                    1, own_new.shape[0], W // 128, 128)
+                e3 = jax.lax.dynamic_update_slice(
+                    e3, ring_c, (perm[i], 0, 0, 0))
             return e3, de + de_i, na + na_i, np_ + np_i
 
         zf = jnp.zeros((), jnp.float32)
@@ -1277,6 +1290,8 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
                                minval=-cfg.cell_width / 2.0,
                                maxval=cfg.cell_width / 2.0)
         do_shift = (sweep + 1) % cfg.shift_every == 0
+        if ABLATE == "shift":  # profiling: constant pred folds the cond away
+            do_shift = False
 
         def with_shift():
             # stay FLAT end-to-end: ring -> flat slices -> flat-space merge

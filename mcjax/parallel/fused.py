@@ -113,13 +113,22 @@ def make_sharded_run_fused(cfg: SimConfig, pot: Potential, mesh: Mesh,
         ps._fused_masks_np(cfg.block_shape, P_total))
 
     def ring_pos_one(fp):
-        """[PN, Ps] -> [PN, W/128, 128] ring with ppermuted aprons."""
+        """[PN, Ps] -> [PN, W/128, 128] ring with ppermuted aprons.
+
+        On a 1-shard mesh the apron is this shard's own periodic wrap —
+        `_ring_one` handles slices wider than Ps (it tiles the period as
+        often as needed), which the ppermute form cannot."""
+        if nsh == 1:
+            return ps._ring_one(fp, Ps, M2, W).reshape(
+                fp.shape[0], W // 128, 128)
         left = jax.lax.ppermute(fp[:, Ps - M2:], axis_name, perm_next)
         right = jax.lax.ppermute(fp[:, :Rr], axis_name, perm_prev)
         w = jnp.concatenate([left, fp, right], axis=-1)
         return w.reshape(fp.shape[0], W // 128, 128)
 
     def ring_occ_one(fo):
+        if nsh == 1:
+            return ps._ring_one(fo, Ps, M2, W).reshape(W // 128, 128)
         left = jax.lax.ppermute(fo[Ps - M2:], axis_name, perm_next)
         right = jax.lax.ppermute(fo[:Rr], axis_name, perm_prev)
         return jnp.concatenate([left, fo, right], -1).reshape(W // 128, 128)

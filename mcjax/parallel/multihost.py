@@ -104,6 +104,25 @@ def process_summary() -> str:
             f"global devices")
 
 
+def put_global(x, s):
+    """Materialize one host-replicated array as a global array with
+    sharding ``s`` (each process provides only its addressable shards;
+    every process must pass the SAME host values). Handles prng keys."""
+    import jax
+
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key):
+        kd = np.asarray(jax.random.key_data(x))
+        impl = jax.random.key_impl(x)
+        g = jax.make_array_from_callback(kd.shape, s,
+                                         lambda idx: kd[idx])
+        return jax.jit(lambda a: jax.random.wrap_key_data(a, impl=impl),
+                       out_shardings=s)(g)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, s, lambda idx: x[idx])
+
+
 def make_global_state(cfg, state, mesh, spatial_axes,
                       replica_axis: str | None = None):
     """Place a host-replicated SimState onto a (possibly multi-process)
@@ -119,21 +138,7 @@ def make_global_state(cfg, state, mesh, spatial_axes,
 
     _check_divisible(cfg, mesh, spatial_axes)
     sh = state_sharding(cfg, mesh, spatial_axes, replica_axis)
-
-    def put(x, s):
-        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
-                x.dtype, jax.dtypes.prng_key):
-            kd = np.asarray(jax.random.key_data(x))
-            impl = jax.random.key_impl(x)
-            g = jax.make_array_from_callback(kd.shape, s,
-                                             lambda idx: kd[idx])
-            return jax.jit(lambda a: jax.random.wrap_key_data(a, impl=impl),
-                           out_shardings=s)(g)
-        x = np.asarray(x)
-        return jax.make_array_from_callback(
-            x.shape, s, lambda idx: x[idx])
-
-    return jax.tree.map(put, state, sh)
+    return jax.tree.map(put_global, state, sh)
 
 
 def coordinator_on_localhost(port: int | None = None) -> str:

@@ -182,15 +182,39 @@ def save_checkpoint_orbax(path: str, cfg: SimConfig, state: SimState,
         json.dump(sidecar, fh)
 
 
-def load_checkpoint_orbax(path: str) -> tuple[SimConfig, SimState,
-                                              "object | None"]:
+def load_checkpoint_orbax(path: str, state_shardings: SimState | None = None
+                          ) -> tuple[SimConfig, SimState, "object | None"]:
+    """Restore an orbax checkpoint; with ``state_shardings`` (a
+    SimState-shaped tree of NamedShardings, e.g. from
+    parallel.mesh.state_sharding) each array is restored DIRECTLY onto its
+    mesh placement — per-shard reads, no host gather, the inverse of the
+    per-shard save.  Scalars (key/sweep/overflow) use the replicated
+    sharding from the tree."""
     import orbax.checkpoint as ocp
 
     from mcjax.models.potentials import potential_from_dict
 
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        z = ckptr.restore(path)
+        if state_shardings is None:
+            z = ckptr.restore(path)
+        else:
+            md = ckptr.metadata(path).item_metadata.tree
+            sc = state_shardings.key  # replicated
+
+            def abstract(name, sh):
+                m = md[name]
+                return jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                            sharding=sh)
+
+            target = {
+                "pos": abstract("pos", state_shardings.pos),
+                "occ": abstract("occ", state_shardings.occ),
+                "key_data": abstract("key_data", sc),
+                "sweep": abstract("sweep", sc),
+                "overflow": abstract("overflow", sc),
+            }
+            z = ckptr.restore(path, target)
     with open(path + ".config.json") as fh:
         sidecar = json.load(fh)
     if "config" in sidecar:

@@ -104,6 +104,7 @@ print(json.dumps({
 VARIANTS = {
     "none": "", "rng": "rng", "pairs": "pairs", "compose": "compose",
     "rolls": "rolls", "dma": "dma", "kernel": "kernel",
+    "call": "call", "ringup": "ringup", "shift": "shift",
 }
 
 
@@ -117,7 +118,7 @@ def main() -> int:
     ap.add_argument("--unroll", type=int, default=0)
     ap.add_argument("--ih-k", type=int, default=0)
     ap.add_argument("--variants", type=str,
-                    default="none,nm1,rng,pairs,rolls,compose,dma,kernel")
+                    default="none,nm1,rng,pairs,rolls,compose,dma,kernel,call,ringup,shift")
     args = ap.parse_args()
 
     results = []

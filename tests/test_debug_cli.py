@@ -495,3 +495,61 @@ def test_cli_field_rejects_ensembles():
                   "--trap", "0.2", "--pressure", "1.0")
     assert out.returncode != 0
     assert "NVT driver only" in (out.stderr + out.stdout)
+
+
+def run_cli_mesh(n_dev, *args, timeout=900):
+    """CLI under a virtual multi-device CPU (the --mesh product surface)."""
+    return subprocess.run(
+        [sys.executable, "-m", "mcjax.cli", *args],
+        capture_output=True, text=True, timeout=timeout,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "PYTHONPATH": ".",
+             "XLA_FLAGS": f"--xla_force_host_platform_device_count={n_dev}"},
+    )
+
+
+def test_cli_mesh_2x2_end_to_end(tmp_path):
+    """--mesh 2,2 runs the sharded XLA engine on a 2x2 CPU mesh through the
+    full CLI loop (chunks, energy trace, checkpoint) — VERDICT r3 item 5."""
+    ck = tmp_path / "ck.npz"
+    out = run_cli_mesh(
+        4, "--model", "hard", "--dim", "2", "--n-atoms", "4096",
+        "--phi", "0.45", "--sweeps", "4", "--chunk", "2", "--seed", "1",
+        "--engine", "xla", "--mesh", "2,2", "--checkpoint", str(ck))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "# mesh: [2, 2] over 4 cpu device(s)" in out.stderr
+    lines = [l for l in out.stdout.splitlines() if ":" in l]
+    assert lines[-1].startswith("4:")
+    assert ck.exists()
+    # resumed run re-shards the checkpointed state onto the mesh
+    out2 = run_cli_mesh(4, "--resume", str(ck), "--sweeps", "2",
+                        "--chunk", "2", "--engine", "xla", "--mesh", "2,2")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    lines2 = [l for l in out2.stdout.splitlines() if ":" in l]
+    assert lines2[-1].startswith("6:")
+
+
+def test_cli_mesh_fused_1shard_smoke():
+    """--engine pallas --fused --mesh 1 routes through parallel.fused
+    (interpret on CPU) — the flagship engine's CLI mesh surface."""
+    out = run_cli_mesh(
+        1, "--model", "hard", "--dim", "2", "--n-atoms", "1024",
+        "--phi", "0.40", "--sweeps", "2", "--chunk", "2", "--seed", "2",
+        "--engine", "pallas", "--fused", "--mesh", "1")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "engine pallas fused" in out.stderr
+    lines = [l for l in out.stdout.splitlines() if ":" in l]
+    assert lines[-1].startswith("2:")
+
+
+def test_cli_mesh_rejects_bad_compositions():
+    out = run_cli_mesh(2, "--model", "hard", "--dim", "2", "--n-atoms",
+                       "512", "--phi", "0.4", "--sweeps", "1",
+                       "--mesh", "2", "--ecmc", "1", "--engine", "xla")
+    assert out.returncode != 0
+    assert "--mesh does not compose" in (out.stderr + out.stdout)
+    out = run_cli_mesh(2, "--model", "hard", "--dim", "2", "--n-atoms",
+                       "512", "--phi", "0.4", "--sweeps", "1",
+                       "--engine", "pallas", "--fused", "--mesh", "1,2")
+    assert out.returncode != 0
+    assert "1-D" in (out.stderr + out.stdout)
