@@ -138,6 +138,38 @@ def field_sweep(cfg: SimConfig, pot: Potential, field, state: SimState,
     return new_state, origin, m
 
 
+def replay_origin(cfg: SimConfig, key: jax.Array, sweep_start,
+                  n_sweeps: int, origin: jax.Array | None = None
+                  ) -> jax.Array:
+    """Cumulative frame origin after ``n_sweeps`` sweeps starting at
+    ``sweep_start``, WITHOUT running any sweep — the shift schedule is a
+    deterministic function of (key, sweep) (mc_sweep's split tree,
+    ops/sweep.py:260-303, replicated by run_sweeps_fused), so the frame
+    drift of a finished field-free run can be reconstructed after the
+    fact.  Used by the decorrelation benchmark to frame-correct density
+    modes: physical x = wrap(stored + origin), so
+    rho_k^phys = exp(i k . origin) * rho_k^stored exactly for
+    reciprocal-lattice k.  Matches field_sweep's in-lockstep update
+    bitwise (same formula; tests/test_decorr.py pins the physics)."""
+    if origin is None:
+        origin = jnp.zeros((cfg.dim,), jnp.float32)
+
+    def body(carry, i):
+        org = carry
+        key_sweep = jax.random.fold_in(key, sweep_start + i)
+        _, k_axis, k_dist, _ = jax.random.split(key_sweep, 4)
+        axis = jax.random.randint(k_axis, (), 0, cfg.dim)
+        d = jax.random.uniform(k_dist, (), minval=-cfg.cell_width / 2.0,
+                               maxval=cfg.cell_width / 2.0)
+        do_shift = (sweep_start + i + 1) % cfg.shift_every == 0
+        step = jnp.where(do_shift, d, 0.0)
+        org = org + step * (jnp.arange(cfg.dim) == axis)
+        return wrap_into_box(org, cfg.box_length), None
+
+    origin, _ = jax.lax.scan(body, origin, jnp.arange(n_sweeps))
+    return origin
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 5))
 def run_field_sweeps(cfg: SimConfig, pot: Potential, field, state: SimState,
                      origin: jax.Array, n_sweeps: int,

@@ -781,6 +781,36 @@ def structure_factor_cells(cfg, pos: jax.Array, occ: jax.Array,
     return jax.lax.map(one_k, kv)
 
 
+def rho_k_cells(cfg, pos: jax.Array, occ: jax.Array,
+                k_vectors: jax.Array) -> jax.Array:
+    """Complex collective density modes rho(k) = sum_j exp(i k . r_j) over
+    the cell-list state, returned as [K, 2] (real, imag) — the building
+    block of the intermediate scattering function F(k, t) used for the
+    decorrelation-rate comparison between the Metropolis and ECMC engines
+    (scripts/bench_ecmc_decorr.py).  Same direct O(N x K) summation as
+    structure_factor_cells; S(k) = |rho(k)|^2 / N."""
+    dim, nmax = cfg.dim, cfg.nmax
+    kv = jnp.asarray(k_vectors, jnp.float32)               # [K, dim]
+
+    def one_k(k):
+        re = jnp.float32(0.0)
+        im = jnp.float32(0.0)
+        for color in range(cfg.n_colors):
+            own = pos[color]                               # [>=dim, nmax, *bs]
+            own_occ = occ[color]
+            bs = own_occ.shape
+            sl = jnp.arange(nmax).reshape((nmax,) + (1,) * len(bs))
+            valid = sl < own_occ[None]
+            phase = jnp.zeros(own.shape[1:], jnp.float32)
+            for d in range(dim):
+                phase = phase + k[d] * own[d]
+            re = re + jnp.sum(jnp.where(valid, jnp.cos(phase), 0.0))
+            im = im + jnp.sum(jnp.where(valid, jnp.sin(phase), 0.0))
+        return jnp.stack([re, im])
+
+    return jax.lax.map(one_k, kv)
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def partial_structure_factor_cells(cfg, pos: jax.Array, occ: jax.Array,
                                    k_vectors: jax.Array,
