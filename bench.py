@@ -421,6 +421,13 @@ def main() -> None:
                          "scripts/validate_in_kernel_rng.py). Default: on "
                          "everywhere (measured winner with --fused)")
     ap.add_argument("--host-rng", dest="in_kernel_rng", action="store_false")
+    ap.add_argument("--ring", action="store_true", default=None,
+                    help="round-4 in-place ring engine: one aliased "
+                         "pallas_call per color sub-step + the ring-native "
+                         "Pallas grid shift (ops/pallas_ring.py) — kills "
+                         "the ~1.5 ms/sweep XLA glue the loop ablations "
+                         "attributed (docs/PERF.md round 4)")
+    ap.add_argument("--no-ring", dest="ring", action="store_false")
     ap.add_argument("--pallas-shift", action="store_true",
                     help="use the Pallas grid-shift kernel (wins for 3D "
                          "where the XLA merge runs on lane-hostile tiles)")
@@ -509,7 +516,16 @@ def main() -> None:
         except Exception:
             engine = "xla"
 
-    if engine == "pallas":
+    if engine == "pallas" and args.ring:
+        from mcjax.ops.pallas_ring import run_sweeps_ring
+
+        def runner(cfg, pot, state, sweeps):
+            return run_sweeps_ring(cfg, pot, state, sweeps,
+                                   args.tile_rows or 16, 128, False,
+                                   args.neighbor_unroll, args.slot_group,
+                                   args.in_kernel_rng, args.ih_k, None,
+                                   not args.pallas_shift or True)
+    elif engine == "pallas":
         from mcjax.ops.pallas_sweep import run_sweeps_pallas
 
         def runner(cfg, pot, state, sweeps):

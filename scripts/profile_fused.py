@@ -76,11 +76,20 @@ tr = spec.get("tile_rows") or tr
 sg = spec.get("slot_group") or sg
 un = spec.get("unroll") or un
 
-from mcjax.ops.pallas_sweep import run_sweeps_pallas
-def run(st):
-    st, m = run_sweeps_pallas(cfg, pot, st, sweeps, tr, 128, False, False,
-                              un, sg, True, True, spec.get("ih_k", 0))
-    return st, m
+if spec.get("engine") == "ring":
+    from mcjax.ops.pallas_ring import run_sweeps_ring
+    def run(st):
+        st, m = run_sweeps_ring(cfg, pot, st, sweeps, tr, 128, False, un,
+                                sg, True, spec.get("ih_k", 0), None,
+                                not spec.get("xla_shift", False))
+        return st, m
+else:
+    from mcjax.ops.pallas_sweep import run_sweeps_pallas
+    def run(st):
+        st, m = run_sweeps_pallas(cfg, pot, st, sweeps, tr, 128, False,
+                                  False, un, sg, True, True,
+                                  spec.get("ih_k", 0))
+        return st, m
 
 t0 = time.perf_counter()
 st, m = run(state)
@@ -117,6 +126,9 @@ def main() -> int:
     ap.add_argument("--slot-group", type=int, default=0)
     ap.add_argument("--unroll", type=int, default=0)
     ap.add_argument("--ih-k", type=int, default=0)
+    ap.add_argument("--engine", choices=["fused", "ring"], default="fused")
+    ap.add_argument("--xla-shift", action="store_true",
+                    help="ring engine: keep the XLA merge shift")
     ap.add_argument("--variants", type=str,
                     default="none,nm1,rng,pairs,rolls,compose,dma,kernel,call,ringup,shift")
     args = ap.parse_args()
@@ -134,7 +146,8 @@ def main() -> int:
             continue
         spec.update(workload=args.workload, sweeps=args.sweeps,
                     tile_rows=args.tile_rows, slot_group=args.slot_group,
-                    unroll=args.unroll, ih_k=args.ih_k)
+                    unroll=args.unroll, ih_k=args.ih_k,
+                    engine=args.engine, xla_shift=args.xla_shift)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         p = subprocess.run([sys.executable, "-c", CHILD, json.dumps(spec)],
@@ -145,6 +158,7 @@ def main() -> int:
                   f"{p.stderr[-2000:]}", file=sys.stderr)
             continue
         rec = json.loads(line[-1])
+        rec["engine"] = args.engine
         results.append(rec)
         print(json.dumps(rec), flush=True)
 

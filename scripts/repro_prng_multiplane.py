@@ -66,20 +66,33 @@ def make_probe(K: int, chain: int):
 
 
 def main():
+    # Round-4 extension (VERDICT r3 item 4a): widen the sweep — tile
+    # shapes, draw counts, dependency-chain lengths.  Round 4 also found
+    # two MORE compiled-Mosaic-only miscompiles of the same flavor
+    # (dynamic sublane slice and dynamic lane roll both fault the worker
+    # at runtime — scripts/probe_mosaic_dynamic.py), which strengthens the
+    # toolchain-side attribution: vector-shape/dynamic edge cases
+    # miscompile instead of being rejected.  If this sweep still prints
+    # all OK, the in-situ failure needs the full kernel's register
+    # pressure to trigger; the per-plane-draw workaround stands either
+    # way (it is gated statistically every bench run via rng_gate).
+    global TR, TC
     bad = 0
-    for K in (4, 5, 6, 8, 12):
-        for chain in (0, 64):
-            fn = make_probe(K, chain)
-            a, b = fn(jnp.array([[12345, 67890]], jnp.int32))
-            a, b = np.asarray(a), np.asarray(b)
-            n_diff = int((a != b).sum())
-            uniq = len({tuple(a[k, 0, :4].tolist()) for k in range(K)})
-            status = "OK " if n_diff == 0 and uniq == K else "BAD"
-            if status == "BAD":
-                bad = 1
-            print(f"{status} K={K:2d} chain={chain:3d}: "
-                  f"{n_diff} words differ between consumers; "
-                  f"{uniq}/{K} planes distinct")
+    for tr in (8, 16, 32):
+        TR = tr
+        for K in (4, 5, 6, 8, 12, 16):
+            for chain in (0, 64, 256):
+                fn = make_probe(K, chain)
+                a, b = fn(jnp.array([[12345, 67890]], jnp.int32))
+                a, b = np.asarray(a), np.asarray(b)
+                n_diff = int((a != b).sum())
+                uniq = len({tuple(a[k, 0, :4].tolist()) for k in range(K)})
+                status = "OK " if n_diff == 0 and uniq == K else "BAD"
+                if status == "BAD":
+                    bad = 1
+                print(f"{status} TR={tr:2d} K={K:2d} chain={chain:3d}: "
+                      f"{n_diff} words differ between consumers; "
+                      f"{uniq}/{K} planes distinct", flush=True)
     sys.exit(bad)
 
 
