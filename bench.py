@@ -210,7 +210,7 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, neighbor_unroll: int,
                pallas_shift: bool = False, slot_group: int = 8,
                in_kernel_rng: bool = False, fused: bool = False,
-               ih_k: int = 0) -> dict:
+               ih_k: int = 0, frozen_cache: bool = False) -> dict:
     """3D Lennard-Jones at the reference's own density (rho = 0.8,
     kernel.cu:17-29: 800 atoms in a 10^3 box) scaled to production N —
     the reference's physics, not just the 2D hard-disk headline
@@ -237,12 +237,14 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
     st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
                               False, pallas_shift, neighbor_unroll,
-                              slot_group, in_kernel_rng, fused, ih_k)
+                              slot_group, in_kernel_rng, fused, ih_k,
+                              frozen_cache)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, pot, st, sweeps, tile_rows, 128,
                                False, pallas_shift, neighbor_unroll,
-                               slot_group, in_kernel_rng, fused, ih_k)
+                               slot_group, in_kernel_rng, fused, ih_k,
+                               frozen_cache)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -267,7 +269,8 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, slot_group: int = 4,
                fused: bool = False, in_kernel_rng: bool = False,
-               neighbor_unroll: int = 2, ih_k: int = 0) -> dict:
+               neighbor_unroll: int = 2, ih_k: int = 0,
+               frozen_cache: bool = False) -> dict:
     """Kob-Andersen 80:20 binary LJ mixture at rho=1.2, T=0.8 (the canonical
     glass former) at production N on the Pallas mixture kernel — per-pair
     (eps, sigma, r_cut) resolved in-kernel from the species plane. The
@@ -293,7 +296,7 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
 
     st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
                               False, False, neighbor_unroll, slot_group,
-                              in_kernel_rng, fused, ih_k)
+                              in_kernel_rng, fused, ih_k, frozen_cache)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
     st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
@@ -428,6 +431,9 @@ def main() -> None:
                          "the ~1.5 ms/sweep XLA glue the loop ablations "
                          "attributed (docs/PERF.md round 4)")
     ap.add_argument("--no-ring", dest="ring", action="store_false")
+    ap.add_argument("--ring-xla-shift", action="store_true",
+                    help="ring engine: use the XLA flat-merge grid shift "
+                         "instead of the ring-native Pallas shift kernel")
     ap.add_argument("--pallas-shift", action="store_true",
                     help="use the Pallas grid-shift kernel (wins for 3D "
                          "where the XLA merge runs on lane-hostile tiles)")
@@ -438,6 +444,15 @@ def main() -> None:
                          "in-kernel RNG (default pallas_sweep.IH_K=12; any K "
                          "keeps the proposal symmetric, smaller K = fewer "
                          "prng draws, shorter tails)")
+    ap.add_argument("--frozen-cache", action="store_true", default=None,
+                    help="per-substep frozen-neighbor energy cache: per "
+                         "move evaluate only u(new) over the frozen cells "
+                         "and subtract the cached old-frozen sum (halves "
+                         "the pair work when n_moves >> nmax; bitwise-gated "
+                         "on square-well, dE-anchor-gated on LJ — "
+                         "tests/test_pallas_frozen.py)")
+    ap.add_argument("--no-frozen-cache", dest="frozen_cache",
+                    action="store_false")
     ap.add_argument("--no-rng-gate", action="store_true",
                     help="skip the in-bench quick statistical RNG gate "
                          "(rng_gate field becomes 'skipped')")
@@ -460,6 +475,12 @@ def main() -> None:
         # n_M=15; 2D stays on the library default (uniform proposals never
         # draw gaussians, so K is moot there)
         args.ih_k = 8 if args.workload in ("lj3d", "ka3d") else 0
+    if args.frozen_cache is None:
+        # measured round 4: lj3d n_M=60 1.36e8 -> 1.81e8 (+33%); ka3d
+        # REGRESSES catastrophically (4.3e5 — the 38-slot mixture precompute
+        # lowers pathologically; docs/PERF.md round 4), 2D hard disks have
+        # no pair energy (flag is a no-op)
+        args.frozen_cache = args.workload == "lj3d"
     if args.ih_k:
         from mcjax.ops import pallas_sweep as _ps
         _ps.IH_K = args.ih_k  # keep module default consistent (aux paths)
@@ -483,7 +504,7 @@ def main() -> None:
                         args.tile_rows or 16, args.neighbor_unroll,
                         args.pallas_shift,
                         args.slot_group or 2, args.in_kernel_rng, args.fused,
-                        args.ih_k))
+                        args.ih_k, bool(args.frozen_cache)))
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
@@ -491,7 +512,8 @@ def main() -> None:
                         args.nmax or 38, args.tile_rows,
                         args.slot_group or 4,
                         args.fused, args.in_kernel_rng,
-                        args.neighbor_unroll, args.ih_k))
+                        args.neighbor_unroll, args.ih_k,
+                        bool(args.frozen_cache)))
         return
     if args.slot_group is None:
         args.slot_group = 1   # 2D hard-disk: grouping hurts (r3 tuning)
@@ -524,7 +546,8 @@ def main() -> None:
                                    args.tile_rows or 16, 128, False,
                                    args.neighbor_unroll, args.slot_group,
                                    args.in_kernel_rng, args.ih_k, None,
-                                   not args.pallas_shift or True)
+                                   not args.ring_xla_shift,
+                                   bool(args.frozen_cache))
     elif engine == "pallas":
         from mcjax.ops.pallas_sweep import run_sweeps_pallas
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 
 import jax
@@ -57,6 +58,15 @@ from mcjax.ops import sweep as xla_sweep
 from mcjax.ops.pallas_sweep import (_fused_geometry, _fused_masks_np,
                                     _make_kernel, _ring_geometry, _ring_one,
                                     _ring_state, _round_up, _unring_state)
+
+# Dev-only fault-bisection knob for the shift kernel (compiled-Mosaic
+# worker crashes cannot be debugged in-process — scripts/probe_ring_tpu.py
+# runs one variant per subprocess):
+#   branch — skip the per-(axis, dir, parity) branch bodies (zero-init the
+#            scratch they would write); merge + output DMA still run
+#   merge  — run the branches, replace the candidate-claim merge epilogue
+#            with a passthrough copy of the own planes
+_RING_ABLATE = os.environ.get("MCJAX_RING_ABLATE", "")
 
 
 def _ring_views(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
@@ -109,7 +119,7 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
                        *, tile_rows: int = 16, tile_cols: int = 128,
                        interpret: bool = False, neighbor_unroll: int = 1,
                        slot_group: int = 8, in_kernel_rng: bool = False,
-                       ih_k: int = 0
+                       ih_k: int = 0, frozen_cache: bool = False
                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One color sub-step updating the ring state IN PLACE.
 
@@ -189,7 +199,7 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
 
     base_kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
                                slot_group, use_scale, in_kernel_rng, None,
-                               ih_k)
+                               ih_k, frozen_cache)
     body = base_kernel.body
 
     def ring_kernel(*refs):
@@ -503,78 +513,107 @@ def ring_shift(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
         cp_own.start()
         cp_occ.start()
 
-        def window_pos(a):
+        def window_pos(k, a):
             rr, sh = divmod(a, 128)
             if sh == 0:
-                return sup_pos[:, rr:rr + TR, :]
-            w = sup_pos[:, rr:rr + TR + 1, :]
+                return sup_pos[k, :, rr:rr + TR, :]
+            w = sup_pos[k, :, rr:rr + TR + 1, :]
             ua = jnp.roll(w[:, :TR], -sh, axis=2)
             ub = jnp.roll(w[:, 1:TR + 1], -sh, axis=2)
             return jnp.where((lane < 128 - sh)[None], ua, ub)
 
-        def window_occ(a):
+        def window_occ(k, a):
             rr, sh = divmod(a, 128)
             if sh == 0:
-                return sup_occ[rr:rr + TR, :]
-            w = sup_occ[rr:rr + TR + 1, :]
+                return sup_occ[k, rr:rr + TR, :]
+            w = sup_occ[k, rr:rr + TR + 1, :]
             ua = jnp.roll(w[:TR], -sh, axis=1)
             ub = jnp.roll(w[1:TR + 1], -sh, axis=1)
             return jnp.where(lane < 128 - sh, ua, ub)
 
-        # ---- per-(axis, dir, parity-bit) static branches ------------------
+        # ---- donor DMA: UNCONDITIONAL, all dim donors, static-flavor -------
+        # Every DMA starts AND waits outside all predication, and every
+        # index is program-id arithmetic of proven flavor (mul/add/div/rem —
+        # the fused kernel's t*TR / rem(t, 2) patterns).  The bisection
+        # history on this chip (scripts/probe_ring_tpu.py, round 4): DMA
+        # waits under SMEM-dependent pl.when fault the worker; an
+        # SMEM-derived donor index (c ^ (1 << k_ax), with the shift as a
+        # where-chain) ALSO faults even with unconditional waits; the same
+        # kernel without the donor DMAs runs.  So the shift DMAs every
+        # axis's donor (dim of them) with indices independent of SMEM and
+        # the active axis is selected by vector work under pl.when — at the
+        # cost of (dim-1) extra super-range reads on a once-per-sweep pass.
         for k in range(dim):
-            # donor source color: parity flips along k
-            src = c ^ (1 << k)
+            step_k = 1 << k
+            par_k = jax.lax.rem(jax.lax.div(c, jnp.int32(step_k)),
+                                jnp.int32(2))
+            src_k = c + jnp.int32(step_k) * (jnp.int32(1)
+                                             - jnp.int32(2) * par_k)
             cp_don = pltpu.make_async_copy(
-                extp_ref.at[src, :, pl.ds(t * TR, LR), :],
-                sup_pos, sems.at[2])
+                extp_ref.at[src_k, :, pl.ds(t * TR, LR), :],
+                sup_pos.at[k], sems.at[2 + 3 * k])
             cp_docc = pltpu.make_async_copy(
-                exto_ref.at[src, pl.ds(t * TR, LR), :],
-                sup_occ, sems.at[3])
+                exto_ref.at[src_k, pl.ds(t * TR, LR), :],
+                sup_occ.at[k], sems.at[3 + 3 * k])
             cp_bk = pltpu.make_async_copy(
-                bk_ref.at[k, pl.ds(t * TR, TR), :], bk_s.at[0], sems.at[4])
+                bk_ref.at[k, pl.ds(t * TR, TR), :], bk_s.at[k],
+                sems.at[4 + 3 * k])
+            cp_don.start()
+            cp_docc.start()
+            cp_bk.start()
+            cp_don.wait()
+            cp_docc.wait()
+            cp_bk.wait()
+        cp_own.wait()
+        cp_occ.wait()
 
-            @pl.when(k_ax == k)
-            def _(k=k, cp_don=cp_don, cp_docc=cp_docc, cp_bk=cp_bk):
-                cp_don.start()
-                cp_docc.start()
-                cp_bk.start()
-                cp_don.wait()
-                cp_docc.wait()
-                cp_bk.wait()
-                cp_own.wait()
-                cp_occ.wait()
-                for dp in (1, -1):
-                    for ob in (0, 1):
-                        s = (ob + dp) >> 1
+        # ---- per-(axis, dir, parity-bit) static branches ------------------
+        # Vector work only (window compose at static offsets + scratch
+        # writes) under the pl.when — the pattern the ring sub-step kernel
+        # proves safe (pl.when(c == cc) with c from SMEM).
+        if _RING_ABLATE == "branch":
+            don_s[...] = jnp.zeros((PN, TR, TC), jnp.float32)
+            docc_s[0] = jnp.zeros((TR, TC), jnp.int32)
+            for j in range(2 * nmax):
+                xk_s[j] = jnp.zeros((TR, TC), jnp.float32)
+            myk_s[0] = jnp.zeros((TR, TC), jnp.int32)
+            recv_s[0] = jnp.ones((TR, TC), jnp.int32)
+        for k in (range(dim) if _RING_ABLATE != "branch" else ()):
 
-                        @pl.when((ddir == dp)
-                                 & (((c >> k) & 1) == ob))
-                        def _(k=k, dp=dp, ob=ob, s=s):
-                            a0 = M2 + s * strides[k]
-                            v = window_pos(a0)
-                            o = window_occ(a0)
-                            if s and k >= 1:
-                                m = mask_ref[2 * k + (0 if s > 0 else 1)] \
-                                    > 0.0
-                                a = a0 - s * bs[k] * strides[k]
-                                v = jnp.where(m[None], window_pos(a), v)
-                                o = jnp.where(m, window_occ(a), o)
-                            don_s[...] = v
-                            docc_s[0] = o
-                            # subtract d on the shifted coordinate plane
-                            # (own + donor), then stash the xk candidates
-                            for j in range(nmax):
-                                own_s[k * nmax + j] = \
-                                    own_s[k * nmax + j] - dval
-                                don_s[k * nmax + j] = \
-                                    don_s[k * nmax + j] - dval
-                                xk_s[j] = own_s[k * nmax + j]
-                                xk_s[nmax + j] = don_s[k * nmax + j]
-                            myk = 2 * bk_s[0] + ob
-                            myk_s[0] = myk
-                            recv_s[0] = jax.lax.rem(
-                                jax.lax.rem(myk - dp, cps) + cps, cps)
+            def branch_body(k, dp, ob, s):
+                a0 = M2 + s * strides[k]
+                v = window_pos(k, a0)
+                o = window_occ(k, a0)
+                if s and k >= 1:
+                    m = mask_ref[2 * k + (0 if s > 0 else 1)] > 0.0
+                    a = a0 - s * bs[k] * strides[k]
+                    v = jnp.where(m[None], window_pos(k, a), v)
+                    o = jnp.where(m, window_occ(k, a), o)
+                don_s[...] = v
+                docc_s[0] = o
+                # subtract d on the shifted coordinate plane (own + donor),
+                # then stash the xk candidates
+                for j in range(nmax):
+                    own_s[k * nmax + j] = own_s[k * nmax + j] - dval
+                    don_s[k * nmax + j] = don_s[k * nmax + j] - dval
+                    xk_s[j] = own_s[k * nmax + j]
+                    xk_s[nmax + j] = don_s[k * nmax + j]
+                myk = 2 * bk_s[k] + ob
+                myk_s[0] = myk
+                recv_s[0] = jax.lax.rem(
+                    jax.lax.rem(myk - dp, cps) + cps, cps)
+
+            for dp in (1, -1):
+                for ob in (0, 1):
+                    s = (ob + dp) >> 1
+                    # parity bit via div/rem (no >>/& on program ids — the
+                    # proven scalar-arithmetic flavor)
+                    par = jax.lax.rem(jax.lax.div(c, jnp.int32(1 << k)),
+                                      jnp.int32(2))
+
+                    @pl.when((k_ax == k) & (ddir == dp) & (par == ob))
+                    def _(k=k, dp=dp, ob=ob, s=s):
+                        branch_body(k, dp, ob, s)
 
         # ---- shared merge epilogue ---------------------------------------
         # wrap the coordinate planes (attribute planes pass through) and
@@ -598,6 +637,23 @@ def ring_shift(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
         don_occ = docc_s[0]
         myk = myk_s[0]
         recv = recv_s[0]
+
+        if _RING_ABLATE == "merge":
+            for p in range(PN):
+                out_s[p] = own_s[p]
+            ovf_ref[0] = jnp.zeros((TR, TC), jnp.int32)
+            occ_s[0] = own_occ
+            cp_out = pltpu.make_async_copy(
+                out_s, out_ext.at[c, :, pl.ds(r0 + t * TR, TR), :],
+                sems.at[2 + 3 * dim])
+            cp_oo = pltpu.make_async_copy(
+                occ_s.at[0], out_occ.at[c, pl.ds(r0 + t * TR, TR), :],
+                sems.at[3 + 3 * dim])
+            cp_out.start()
+            cp_oo.start()
+            cp_out.wait()
+            cp_oo.wait()
+            return
 
         # candidate-claim merge: integer cumsum in slot order (bitwise the
         # XLA flat merge, cells._shift_rebin_axis_flat)
@@ -632,10 +688,11 @@ def ring_shift(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
         occ_s[0] = jnp.minimum(run, nmax)
 
         cp_out = pltpu.make_async_copy(
-            out_s, out_ext.at[c, :, pl.ds(r0 + t * TR, TR), :], sems.at[5])
+            out_s, out_ext.at[c, :, pl.ds(r0 + t * TR, TR), :],
+            sems.at[2 + 3 * dim])
         cp_oo = pltpu.make_async_copy(
             occ_s.at[0], out_occ.at[c, pl.ds(r0 + t * TR, TR), :],
-            sems.at[6])
+            sems.at[3 + 3 * dim])
         cp_out.start()
         cp_oo.start()
         cp_out.wait()
@@ -670,13 +727,14 @@ def ring_shift(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
         pltpu.VMEM((2 * nmax, TR, TC), jnp.float32),       # xk_s
         pltpu.VMEM((1, TR, TC), jnp.int32),                # myk_s
         pltpu.VMEM((1, TR, TC), jnp.int32),                # recv_s
-        pltpu.VMEM((PN, LR, 128), jnp.float32),            # sup_pos
-        pltpu.VMEM((LR, 128), jnp.int32),                  # sup_occ
-        pltpu.VMEM((1, TR, TC), jnp.int32),                # bk_s
+        pltpu.VMEM((dim, PN, LR, 128), jnp.float32),       # sup_pos
+        pltpu.VMEM((dim, LR, 128), jnp.int32),             # sup_occ
+        pltpu.VMEM((dim, TR, TC), jnp.int32),              # bk_s
         pltpu.VMEM((PN, TR, TC), jnp.float32),             # out_s
-        pltpu.SemaphoreType.DMA((7,)),
+        pltpu.SemaphoreType.DMA((2 + 3 * dim + 2,)),
     ]
-    vmem_bytes = 4 * (4 * PN * T + (PN + 1) * L + 2 * nmax * T + 6 * T
+    vmem_bytes = 4 * (4 * PN * T + dim * (PN + 1) * L + 2 * nmax * T
+                      + (6 + dim) * T
                       + 2 * dim * T) + 8 * 1024 * 1024
 
     ext3_n, exto3_n, ovf_map = pl.pallas_call(
@@ -721,7 +779,8 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
                          neighbor_unroll: int = 1, slot_group: int = 8,
                          in_kernel_rng: bool = False, ih_k: int = 0,
                          shard_fold: int | None = None,
-                         pallas_shift: bool = True
+                         pallas_shift: bool = True,
+                         frozen_cache: bool = False
                          ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """run_sweeps on the in-place ring engine (single chip).
 
@@ -756,7 +815,7 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
                 tile_rows=tile_rows, tile_cols=tile_cols,
                 interpret=interpret, neighbor_unroll=neighbor_unroll,
                 slot_group=slot_group, in_kernel_rng=in_kernel_rng,
-                ih_k=ih_k)
+                ih_k=ih_k, frozen_cache=frozen_cache)
             e3 = _refresh_color(cfg, e3, c, tile_rows, tile_cols)
             return e3, de + de_i, na + na_i, np_ + nprop_all[c]
 
@@ -805,16 +864,16 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
     return state, metrics
 
 
-@partial(jax.jit, static_argnums=(0, 1) + tuple(range(3, 13)))
+@partial(jax.jit, static_argnums=(0, 1) + tuple(range(3, 14)))
 def run_sweeps_ring(cfg: SimConfig, pot: Potential, state: SimState,
                     n_sweeps: int, tile_rows: int = 16, tile_cols: int = 128,
                     interpret: bool = False, neighbor_unroll: int = 1,
                     slot_group: int = 8, in_kernel_rng: bool = False,
                     ih_k: int = 0, shard_fold: int | None = None,
-                    pallas_shift: bool = True
+                    pallas_shift: bool = True, frozen_cache: bool = False
                     ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """Jitted entry for the in-place ring engine (see run_sweeps_ring_impl)."""
     return run_sweeps_ring_impl(cfg, pot, state, n_sweeps, tile_rows,
                                 tile_cols, interpret, neighbor_unroll,
                                 slot_group, in_kernel_rng, ih_k, shard_fold,
-                                pallas_shift)
+                                pallas_shift, frozen_cache)

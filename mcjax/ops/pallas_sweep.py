@@ -110,7 +110,8 @@ def _ih_k() -> int:
 def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                  beta_static: float | None, neighbor_unroll: int = 1,
                  slot_group: int = 8, use_scale: bool = False,
-                 in_kernel_rng: bool = False, field=None, ih_k: int = 0):
+                 in_kernel_rng: bool = False, field=None, ih_k: int = 0,
+                 frozen_cache: bool = False):
     """Build the kernel body (closure over static config/potential).
 
     ILP design (round 3): pair slots are processed in GROUPS of
@@ -166,6 +167,24 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     else:
         pair_fn = getattr(pot, "pair_energy_pl", pot.pair_energy)
 
+    # Frozen-neighbor energy cache (round 4, VERDICT r3 #3): during a color
+    # sub-step the 3^dim-1 neighbor cells are FROZEN, so each own slot's
+    # pair energy against them is a per-substep constant between its own
+    # moves.  Precompute it once (nmax x n_k x nmax evals, fori over k) and
+    # per move evaluate only u(new) over the frozen cells: the old-energy
+    # half of the pair work (the dominant slope term in 3D — 0.45 ms/move-
+    # round vs ~0.16 entitlement, docs/PERF.md round 3) disappears.  On
+    # accept the cache entry is replaced by the freshly computed new-frozen
+    # sum, so no fp error accumulates across moves.  Worth it when
+    # n_m >> nmax (the precompute costs ~nmax/n_m of the saved work);
+    # changes dE summation ORDER only (same terms) — trajectories of
+    # energetic potentials are statistically identical but not bitwise vs
+    # the uncached kernel, so this stays an opt-in static flag gated by the
+    # dE-anchor test (tests/test_pallas_frozen.py).
+    # Reference analogue: the per-move old+new energy pair loop this halves,
+    # CUDA-Parallel-MC kernel.cu:315-379.
+    frozen_on = frozen_cache and pot.has_energy and ABLATE != "pairs"
+
     gaussian = cfg.proposal == "gaussian"
     step = cfg.step_size
     # uniforms per Irwin-Hall gaussian component (ik-RNG): the explicit
@@ -218,7 +237,11 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             return de_p, ov_p
 
         def move_body(m, carry):
-            de_acc, acc_acc = carry
+            if frozen_on:
+                de_acc, acc_acc = carry[0], carry[1]
+                ef = carry[2:]
+            else:
+                de_acc, acc_acc = carry
             if in_kernel_rng:
                 # Draws per move: pick, accept, then displacement randoms,
                 # ONE [TR, TC] plane per prng_random_bits call.  A single
@@ -331,7 +354,9 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             # pairs share a cell, so raw differences are already minimal.
             def accumulate(is_tail, xs_old, xs_new, valid, de_parts, ov_parts,
                            sj=None):
-                """One grouped pair evaluation: everything is [g, TR, TC]."""
+                """One grouped pair evaluation: everything is [g, TR, TC].
+                ``xs_old is None`` accumulates u(new) alone (frozen-cache
+                mode: the old half comes from the per-substep cache)."""
                 a = 1 if is_tail else 0
                 r2n = xs_new[0] * xs_new[0]
                 for d in range(1, dim):
@@ -339,16 +364,20 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 if use_scale:
                     r2n = s2 * r2n
                 if pair_energetic:
-                    r2o = xs_old[0] * xs_old[0]
-                    for d in range(1, dim):
-                        r2o = r2o + xs_old[d] * xs_old[d]
-                    if use_scale:
-                        r2o = s2 * r2o
-                    if mixture:
-                        term = (pair_s_fn(r2n, sx[None], sj)
-                                - pair_s_fn(r2o, sx[None], sj))
+                    if xs_old is None:
+                        term = (pair_s_fn(r2n, sx[None], sj) if mixture
+                                else pair_fn(r2n))
                     else:
-                        term = pair_fn(r2n) - pair_fn(r2o)
+                        r2o = xs_old[0] * xs_old[0]
+                        for d in range(1, dim):
+                            r2o = r2o + xs_old[d] * xs_old[d]
+                        if use_scale:
+                            r2o = s2 * r2o
+                        if mixture:
+                            term = (pair_s_fn(r2n, sx[None], sj)
+                                    - pair_s_fn(r2o, sx[None], sj))
+                        else:
+                            term = pair_fn(r2n) - pair_fn(r2o)
                     upd = de_parts[a] + jnp.where(valid, term, 0.0)
                     de_parts = (de_parts[0], upd) if is_tail \
                         else (upd, de_parts[1])
@@ -374,8 +403,11 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                         # pl.ds: k is a tracer on the fori_loop path
                         base = (k * n_planes + d) * nmax + j0
                         nb = nbr_ref[pl.ds(base, g)]
-                        xs_old.append(old[d][None] - nb)
+                        if not frozen_on:
+                            xs_old.append(old[d][None] - nb)
                         xs_new.append(new[d][None] - nb)
+                    if frozen_on:
+                        xs_old = None
                     if mixture:
                         base = (k * n_planes + dim) * nmax + j0
                         sj = nbr_ref[pl.ds(base, g)]
@@ -419,7 +451,14 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 for k in range((n_k // u) * u, n_k):
                     de_parts, ov_parts = nbr_cell_pairs(k, de_parts, ov_parts)
 
-            # own-cell pairs (excluding the moving particle)
+            # own-cell pairs (excluding the moving particle) — in frozen-
+            # cache mode these go to FRESH dE accumulators (the neighbor
+            # accumulators must reduce to the pure new-frozen sum, which
+            # becomes the accepted particle's cache entry)
+            if frozen_on:
+                own_de_parts = acc_pair(ov_dtype)[0]
+            else:
+                own_de_parts = de_parts
             for j0, g in (() if ABLATE == "pairs" else groups):
                 is_tail = g != G
                 ji = giota_t if is_tail else giota
@@ -432,8 +471,11 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     xs_new.append(new[d][None] - nb)
                 sj = (out_ref[dim * nmax + j0:dim * nmax + j0 + g]
                       if mixture else None)
-                de_parts, ov_parts = accumulate(
-                    is_tail, xs_old, xs_new, valid, de_parts, ov_parts, sj)
+                own_de_parts, ov_parts = accumulate(
+                    is_tail, xs_old, xs_new, valid, own_de_parts, ov_parts,
+                    sj)
+            if not frozen_on:
+                de_parts = own_de_parts
 
             # reduce the [G, TR, TC] lane accumulators once per move
             def lane_reduce(parts, red):
@@ -443,8 +485,21 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     out = (out | red(tl)) if red is _any0 else out + red(tl)
                 return out
 
-            de = lane_reduce(de_parts, _sum0) if pair_energetic \
-                else jnp.zeros_like(occf)
+            if frozen_on:
+                # cached old-frozen energy of the moving slot p
+                parts = [jnp.where(p == j, ef[j], 0.0) for j in range(nmax)]
+                while len(parts) > 1:
+                    parts = [parts[i] + parts[i + 1]
+                             if i + 1 < len(parts) else parts[i]
+                             for i in range(0, len(parts), 2)]
+                e_old_froz = parts[0]
+                e_new_froz = lane_reduce(de_parts, _sum0)
+                de = (e_new_froz - e_old_froz
+                      + lane_reduce(own_de_parts, _sum0))
+            elif pair_energetic:
+                de = lane_reduce(de_parts, _sum0)
+            else:
+                de = jnp.zeros_like(occf)
             ov_new = (lane_reduce(ov_parts, _any0) > 0 if hard
                       else jnp.zeros_like(nonempty))
             if de_field is not None:
@@ -469,11 +524,59 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
 
             de_acc = de_acc + jnp.where(accept, de, 0.0)
             acc_acc = acc_acc + accept.astype(jnp.int32)
+            if frozen_on:
+                # accepted slot's cache entry := its fresh new-frozen sum
+                ef = tuple(jnp.where(accept & (p == j), e_new_froz, ef[j])
+                           for j in range(nmax))
+                return (de_acc, acc_acc) + ef
             return de_acc, acc_acc
 
         zf = jnp.zeros(occ.shape, jnp.float32)
         zi = jnp.zeros(occ.shape, jnp.int32)
-        de_acc, acc_acc = jax.lax.fori_loop(0, n_m, move_body, (zf, zi))
+        if frozen_on:
+            # per-substep precompute: ef[j] = sum over the n_k frozen
+            # neighbor cells' slots of u(r2(own_j, nbr)) — fori over k keeps
+            # the Mosaic statement count at one cell's worth (nmax * groups
+            # grouped evals) regardless of n_k
+            s2_pc = scale2_ref[0, 0] if use_scale else None
+
+            def froz_cell_k(k, ef_flat):
+                ef_list = list(ef_flat)
+                nocc = nbrocc_ref[k]
+                for j in range(nmax):
+                    own_j = [out_ref[d * nmax + j] for d in range(dim)]
+                    sx_j = out_ref[dim * nmax + j] if mixture else None
+                    acc = None
+                    for j0, g in groups:
+                        is_tail = g != G
+                        ji = giota_t if is_tail else giota
+                        valid = ji < (nocc - j0)[None]
+                        r2 = None
+                        for d in range(dim):
+                            base = (k * n_planes + d) * nmax + j0
+                            xd = own_j[d][None] - nbr_ref[pl.ds(base, g)]
+                            r2 = xd * xd if r2 is None else r2 + xd * xd
+                        if use_scale:
+                            r2 = s2_pc * r2
+                        if mixture:
+                            base = (k * n_planes + dim) * nmax + j0
+                            sj = nbr_ref[pl.ds(base, g)]
+                            u = pair_s_fn(r2, sx_j[None], sj)
+                        else:
+                            u = pair_fn(r2)
+                        part = _sum0(jnp.where(valid, u, 0.0))
+                        acc = part if acc is None else acc + part
+                    ef_list[j] = ef_list[j] + acc
+                return tuple(ef_list)
+
+            ef0 = tuple(jnp.zeros(occ.shape, jnp.float32)
+                        for _ in range(nmax))
+            ef_init = jax.lax.fori_loop(0, n_k, froz_cell_k, ef0)
+            out = jax.lax.fori_loop(0, n_m, move_body,
+                                    (zf, zi) + ef_init)
+            de_acc, acc_acc = out[0], out[1]
+        else:
+            de_acc, acc_acc = jax.lax.fori_loop(0, n_m, move_body, (zf, zi))
         de_ref[0] = de_acc
         acc_ref[0] = acc_acc
 
@@ -539,7 +642,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
                          neighbor_unroll: int = 1,
                          slot_group: int = 8,
                          in_kernel_rng: bool = False,
-                         ih_k: int = 0
+                         ih_k: int = 0,
+                         frozen_cache: bool = False
                          ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for sweep.color_substep backed by the Pallas kernel.
 
@@ -759,7 +863,8 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
                                neighbor_unroll: int = 1,
                                slot_group: int = 8,
                                in_kernel_rng: bool = False,
-                               ih_k: int = 0
+                               ih_k: int = 0,
+                               frozen_cache: bool = False
                                ) -> tuple[jax.Array, jax.Array, jax.Array,
                                           jax.Array]:
     """color_substep with IN-KERNEL neighbor reads — no materialized stack.
@@ -787,7 +892,7 @@ def pallas_color_substep_fused(cfg: SimConfig, pot: Potential, color: int,
         cfg, pot, color, ext3, exto3, key, beta, scale, field, origin,
         tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
         neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-        in_kernel_rng=in_kernel_rng, ih_k=ih_k)
+        in_kernel_rng=in_kernel_rng, ih_k=ih_k, frozen_cache=frozen_cache)
     own_new = own_new.reshape((n_planes, cfg.nmax) + pos.shape[3:])
     return own_new, de, n_acc, n_prop
 
@@ -851,6 +956,7 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
                 interpret: bool = False, neighbor_unroll: int = 1,
                 slot_group: int = 8, in_kernel_rng: bool = False,
                 ih_k: int = 0,
+                frozen_cache: bool = False,
                 p_local: int | None = None,
                 lb_local: jax.Array | None = None,
                 masks_local: jax.Array | None = None,
@@ -950,7 +1056,7 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
 
     base_kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
                                slot_group, use_scale, in_kernel_rng, field,
-                               ih_k)
+                               ih_k, frozen_cache)
     body = base_kernel.body
     TR, TC = tile_rows, tile_cols
     PN = n_planes * nmax
@@ -1185,7 +1291,8 @@ def _fused_core(cfg: SimConfig, pot: Potential, color: int,
 def make_fused_substep(tile_rows: int = 8, tile_cols: int = 128,
                        interpret: bool = False,
                        neighbor_unroll: int = 1, slot_group: int = 8,
-                       in_kernel_rng: bool = False, ih_k: int = 0):
+                       in_kernel_rng: bool = False, ih_k: int = 0,
+                       frozen_cache: bool = False):
     """A color_substep-compatible wrapper around the fused (in-kernel DMA)
     sub-sweep.  Single-chip flat path only; signature-compatible with
     sweep.mc_sweep's substep_fn (shift_fn/block_offset must stay default)."""
@@ -1199,7 +1306,8 @@ def make_fused_substep(tile_rows: int = 8, tile_cols: int = 128,
             field=field, origin=origin,
             tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
             neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-            in_kernel_rng=in_kernel_rng, ih_k=ih_k)
+            in_kernel_rng=in_kernel_rng, ih_k=ih_k,
+            frozen_cache=frozen_cache)
     return substep
 
 
@@ -1208,7 +1316,8 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
                      tile_cols: int = 128, interpret: bool = False,
                      neighbor_unroll: int = 1, slot_group: int = 8,
                      in_kernel_rng: bool = False, ih_k: int = 0,
-                     shard_fold: int | None = None
+                     shard_fold: int | None = None,
+                     frozen_cache: bool = False
                      ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """Fused-engine run loop carrying the RING-EXTENDED state across the
     whole scan.
@@ -1244,7 +1353,8 @@ def run_sweeps_fused(cfg: SimConfig, pot: Potential, state: SimState,
             cfg, pot, c, ext3, exto3, k, tile_rows=tile_rows,
             tile_cols=tile_cols, interpret=interpret,
             neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-            in_kernel_rng=in_kernel_rng, ih_k=ih_k)
+            in_kernel_rng=in_kernel_rng, ih_k=ih_k,
+            frozen_cache=frozen_cache)
 
     branches = [partial(substep_branch, c) for c in range(n_colors)]
 
@@ -1348,7 +1458,8 @@ def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
                         interpret: bool = False,
                         vma: tuple[str, ...] | None = None,
                         neighbor_unroll: int = 1, slot_group: int = 8,
-                        in_kernel_rng: bool = False, ih_k: int = 0):
+                        in_kernel_rng: bool = False, ih_k: int = 0,
+                        frozen_cache: bool = False):
     """A color_substep-compatible function with chosen tiling.
 
     ``vma``: mesh axis names the state varies over when running inside
@@ -1356,7 +1467,8 @@ def make_pallas_substep(tile_rows: int = 8, tile_cols: int = 128,
     return partial(pallas_color_substep, tile_rows=tile_rows,
                    tile_cols=tile_cols, interpret=interpret, vma=vma,
                    neighbor_unroll=neighbor_unroll, slot_group=slot_group,
-                   in_kernel_rng=in_kernel_rng, ih_k=ih_k)
+                   in_kernel_rng=in_kernel_rng, ih_k=ih_k,
+                   frozen_cache=frozen_cache)
 
 
 def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
@@ -1369,13 +1481,14 @@ def auto_tile_rows(cfg: SimConfig, tile_cols: int = 128,
     return 8
 
 
-@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit,
+         static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
                       n_sweeps: int, tile_rows: int = 0, tile_cols: int = 128,
                       interpret: bool = False, pallas_shift: bool = False,
                       neighbor_unroll: int = 1, slot_group: int = 8,
                       in_kernel_rng: bool = False, fused: bool = False,
-                      ih_k: int = 0
+                      ih_k: int = 0, frozen_cache: bool = False
                       ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """run_sweeps with the Pallas sub-sweep kernel (single chip).
 
@@ -1399,17 +1512,20 @@ def run_sweeps_pallas(cfg: SimConfig, pot: Potential, state: SimState,
         # full-state ring rebuild per sub-step (bitwise equal; docstring)
         return run_sweeps_fused(cfg, pot, state, n_sweeps, tile_rows,
                                 tile_cols, interpret, neighbor_unroll,
-                                slot_group, in_kernel_rng, ih_k)
+                                slot_group, in_kernel_rng, ih_k,
+                                frozen_cache=frozen_cache)
     if fused:
         substep = make_fused_substep(tile_rows, tile_cols, interpret,
                                      neighbor_unroll=neighbor_unroll,
                                      slot_group=slot_group,
-                                     in_kernel_rng=in_kernel_rng, ih_k=ih_k)
+                                     in_kernel_rng=in_kernel_rng, ih_k=ih_k,
+                                     frozen_cache=frozen_cache)
     else:
         substep = make_pallas_substep(tile_rows, tile_cols, interpret,
                                       neighbor_unroll=neighbor_unroll,
                                       slot_group=slot_group,
-                                      in_kernel_rng=in_kernel_rng, ih_k=ih_k)
+                                      in_kernel_rng=in_kernel_rng, ih_k=ih_k,
+                                      frozen_cache=frozen_cache)
     shift_rebin_fn = None
     if pallas_shift:
         from mcjax.ops.pallas_shift import pallas_shift_rebin
