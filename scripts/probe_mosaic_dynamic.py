@@ -48,6 +48,21 @@ def kernel(c_ref, a_ref, x_ref, o_ref, scratch, sem):
         ua = jnp.roll(w[:TR], -7, axis=1)
         ub = jnp.roll(w[1:TR + 1], -7, axis=1)
         sh_v = 7
+    elif mode == "smemidx":
+        # DMA source index read from an SMEM TABLE at a program-id-derived
+        # slot: src = table[rem(t, 2)] — the primitive a single-donor
+        # ring_shift needs (host precomputes table[c] = c ^ (1 << axis);
+        # arithmetic-derived indices like c ^ (1 << k_ax) fault in-kernel,
+        # a pure table lookup may not).  In this mode the table holds the
+        # index DIRECTLY (always 1), no in-kernel arithmetic on the value.
+        src = a_ref[0, jax.lax.rem(t, 2)]
+        cp = pltpu.make_async_copy(x_ref.at[src, pl.ds(t * TR, LR), :],
+                                   scratch, sem)
+        cp.start(); cp.wait()
+        w = scratch[pl.ds(1, TR + 1), :]
+        ua = jnp.roll(w[:TR], -7, axis=1)
+        ub = jnp.roll(w[1:TR + 1], -7, axis=1)
+        sh_v = 7
     else:
         cp = pltpu.make_async_copy(x_ref.at[1, pl.ds(t * TR, LR), :],
                                    scratch, sem)
@@ -72,7 +87,8 @@ def kernel(c_ref, a_ref, x_ref, o_ref, scratch, sem):
 
 x = jnp.arange(2 * (n_rows + 4) * 128, dtype=jnp.int32).reshape(
     2, n_rows + 4, 128)
-a_tbl = jnp.asarray([[7, 135]], jnp.int32)
+a_tbl = jnp.asarray([[1, 1]] if mode == "smemidx" else [[7, 135]],
+                    jnp.int32)
 c = jnp.asarray([[1]], jnp.int32)
 out = pl.pallas_call(
     kernel,
