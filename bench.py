@@ -210,7 +210,8 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
                tile_rows: int, neighbor_unroll: int,
                pallas_shift: bool = False, slot_group: int = 8,
                in_kernel_rng: bool = False, fused: bool = False,
-               ih_k: int = 0, frozen_cache: bool = False) -> dict:
+               ih_k: int = 0, frozen_cache: bool = False,
+               ring: bool = False) -> dict:
     """3D Lennard-Jones at the reference's own density (rho = 0.8,
     kernel.cu:17-29: 800 atoms in a 10^3 box) scaled to production N —
     the reference's physics, not just the 2D hard-disk headline
@@ -235,16 +236,24 @@ def bench_lj3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     from mcjax.ops.cells import stratified_positions
     state = init_state(cfg, positions=stratified_positions(cfg))
 
-    st, m = run_sweeps_pallas(cfg, pot, state, sweeps, tile_rows, 128,
-                              False, pallas_shift, neighbor_unroll,
-                              slot_group, in_kernel_rng, fused, ih_k,
-                              frozen_cache)
+    if ring:
+        from mcjax.ops.pallas_ring import run_sweeps_ring
+
+        def _run(st0, n):
+            return run_sweeps_ring(cfg, pot, st0, n, tile_rows, 128, False,
+                                   neighbor_unroll, slot_group,
+                                   in_kernel_rng, ih_k, None, True,
+                                   frozen_cache)
+    else:
+        def _run(st0, n):
+            return run_sweeps_pallas(cfg, pot, st0, n, tile_rows, 128,
+                                     False, pallas_shift, neighbor_unroll,
+                                     slot_group, in_kernel_rng, fused, ih_k,
+                                     frozen_cache)
+    st, m = _run(state, sweeps)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
-    st2, m = run_sweeps_pallas(cfg, pot, st, sweeps, tile_rows, 128,
-                               False, pallas_shift, neighbor_unroll,
-                               slot_group, in_kernel_rng, fused, ih_k,
-                               frozen_cache)
+    st2, m = _run(st, sweeps)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 
@@ -475,6 +484,13 @@ def main() -> None:
         # n_M=15; 2D stays on the library default (uniform proposals never
         # draw gaussians, so K is moot there)
         args.ih_k = 8 if args.workload in ("lj3d", "ka3d") else 0
+    if args.ring is None:
+        # round-4 measured winner for the 2D hard-disk workload: the
+        # in-place ring engine (one aliased pallas_call per substep + the
+        # ring-native Pallas shift): n_M=8 1.96e9 vs 1.42e9 fused, n_M=64
+        # headline 6.03e9 vs 5.26e9 (docs/PERF.md round 4).  3D workloads
+        # route through bench_lj3d/bench_ka3d (--ring opt-in there).
+        args.ring = args.workload == "hard-disk"
     if args.frozen_cache is None:
         # measured round 4: lj3d n_M=60 1.36e8 -> 1.81e8 (+33%); ka3d
         # REGRESSES catastrophically (4.3e5 — the 38-slot mixture precompute
@@ -504,7 +520,8 @@ def main() -> None:
                         args.tile_rows or 16, args.neighbor_unroll,
                         args.pallas_shift,
                         args.slot_group or 2, args.in_kernel_rng, args.fused,
-                        args.ih_k, bool(args.frozen_cache)))
+                        args.ih_k, bool(args.frozen_cache),
+                        bool(args.ring)))
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
@@ -543,7 +560,7 @@ def main() -> None:
 
         def runner(cfg, pot, state, sweeps):
             return run_sweeps_ring(cfg, pot, state, sweeps,
-                                   args.tile_rows or 16, 128, False,
+                                   args.tile_rows or 32, 128, False,
                                    args.neighbor_unroll, args.slot_group,
                                    args.in_kernel_rng, args.ih_k, None,
                                    not args.ring_xla_shift,

@@ -184,6 +184,18 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
     # Reference analogue: the per-move old+new energy pair loop this halves,
     # CUDA-Parallel-MC kernel.cu:315-379.
     frozen_on = frozen_cache and pot.has_energy and ABLATE != "pairs"
+    if frozen_on:
+        np_check = dim + (1 if getattr(pot, "is_mixture", False) else 0)
+        if (np_check * nmax) % 8 != 0:
+            # The precompute's fori-k dynamic-slice starts are
+            # k*(n_planes*nmax) + static; Mosaic faults the worker at
+            # runtime when that DYNAMIC part is not 8-row aligned (probed:
+            # lj3d nmax=24 -> 72/k aligned, runs; nmax=38 -> 114/k
+            # misaligned, crashes the TPU worker; docs/PERF.md round 4).
+            raise ValueError(
+                f"frozen_cache requires (n_planes*nmax) % 8 == 0 for the "
+                f"fori-k precompute's dynamic slices (got n_planes="
+                f"{np_check}, nmax={nmax}); pad nmax up")
 
     gaussian = cfg.proposal == "gaussian"
     step = cfg.step_size
