@@ -6,9 +6,23 @@ fixed axis until it contacts another particle, which then becomes active
 with the remaining displacement budget; the chain ends when the total
 budget ell is spent. Straight x/y(/z)-alternating chains satisfy maximal
 global balance (not detailed balance) and decorrelate dense hard-disk
-fluids ~1-2 orders of magnitude faster per displacement than local
-Metropolis moves. The CUDA reference has no rejection-free moves at all
-(its only kernel is the local displacement chain, kernel.cu:209-435).
+fluids ~1-2 orders of magnitude faster PER DISPLACEMENT than local
+Metropolis moves (the literature result the method is built on). The CUDA
+reference has no rejection-free moves at all (its only kernel is the local
+displacement chain, kernel.cu:209-435).
+
+**Measured TPU verdict (round 4, scripts/bench_ecmc_decorr.py — 64k disks
+at phi=0.60, F(k*, t) decorrelation per WALL second):** the fused
+Metropolis engine reaches F = 1/e in 2.3 s (3.3e6 trial moves/s at this
+small N) while the lockstep event loop runs only ~6e3 events/s
+(gather/scatter-bound: one 3^dim-ring masked sweep per EVENT, and events
+are sequential within a chain) — its F(k*, t) barely moves in the same
+wall-time budget.  Per-displacement superiority cannot overcome a ~500x
+raw-rate deficit on this hardware, so ECMC on a single chip is the
+PHYSICS capability (rejection-free sampling, lift-estimator pressure,
+exactness gates vs the serial oracle), not a throughput path; the
+replica-vmapped ensemble driver (`run_ecmc_ensemble`) is the only form
+that fills the VPU.  Numbers in docs/PERF.md round 4.
 
 TPU-native formulation
 ----------------------

@@ -88,6 +88,19 @@ def _use_sliver(cfg: SimConfig, tile_rows: int, tile_cols: int) -> bool:
     return P >= M2 and l_tail <= P
 
 
+def _mirror_in_kernel(cfg: SimConfig, tile_rows: int, tile_cols: int
+                      ) -> bool:
+    """True when the sub-step kernel can refresh the updated color's ring
+    aprons ITSELF (two extra DMAs on the first/last grid tiles) so the
+    caller skips the XLA sliver refresh entirely.  Requires the flat range
+    to be tile-exact (padded == P: apron rows map 1:1 onto the first/last
+    tile's own rows) and the aprons to fit inside one tile."""
+    P, padded, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
+    r0 = M2 // 128
+    return (padded == P and r0 + 1 <= tile_rows
+            and _use_sliver(cfg, tile_rows, tile_cols))
+
+
 def _refresh_color(cfg: SimConfig, ext3: jax.Array, c: jax.Array,
                    tile_rows: int, tile_cols: int) -> jax.Array:
     """Re-mirror color ``c``'s ring aprons from its (just updated) flat
@@ -163,6 +176,7 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
         2 * dim, rp, cp)
 
     use_field = False
+    mirror = _mirror_in_kernel(cfg, tile_rows, tile_cols)
     need_acc = pot.has_energy
     if in_kernel_rng:
         pick_u = disp = acc_u = None
@@ -361,6 +375,35 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
         cp_out.start()
         cp_out.wait()
 
+        if mirror:
+            # refresh this color's ring aprons in-kernel: ring[x] =
+            # flat[(x - M2) mod P], so the head apron rows [0, r0) are the
+            # LAST tile's last r0 rows and the tail apron rows
+            # [r0 + Pr, W/128) are tile 0's first r0+1 rows.  Mirror rows
+            # are never read as own rows this call (own reads span
+            # [r0, r0 + Pr)) and neighbor reads only target OTHER colors,
+            # so the extra writes are hazard-free.  Predicates are
+            # grid-derived (the fused kernel's proven pl.when flavor).
+            Pr = P // 128
+            nt_m = pl.num_programs(0)
+
+            @pl.when(t == nt_m - 1)
+            def _():
+                cp_h = pltpu.make_async_copy(
+                    out_s.at[:, pl.ds(TR - r0, r0), :],
+                    out_ext_ref.at[c, :, pl.ds(0, r0), :], own_sem.at[4])
+                cp_h.start()
+                cp_h.wait()
+
+            @pl.when(t == 0)
+            def _():
+                cp_t = pltpu.make_async_copy(
+                    out_s.at[:, pl.ds(0, r0 + 1), :],
+                    out_ext_ref.at[c, :, pl.ds(r0 + Pr, r0 + 1), :],
+                    own_sem.at[5])
+                cp_t.start()
+                cp_t.wait()
+
     grid = (rp // tile_rows, 1)
 
     def bspec(lead):
@@ -408,7 +451,7 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
         pltpu.VMEM((n_k * PN, TR, TC), jnp.float32),       # nbrs
         pltpu.VMEM((n_k, TR, TC), jnp.int32),              # nbro
         pltpu.SemaphoreType.DMA((2, 2 * U)),
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((6,)),
     ]
     vmem_bytes = (
         2 * 4 * U * (PN + 1) * L
@@ -816,7 +859,8 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
                 interpret=interpret, neighbor_unroll=neighbor_unroll,
                 slot_group=slot_group, in_kernel_rng=in_kernel_rng,
                 ih_k=ih_k, frozen_cache=frozen_cache)
-            e3 = _refresh_color(cfg, e3, c, tile_rows, tile_cols)
+            if not _mirror_in_kernel(cfg, tile_rows, tile_cols):
+                e3 = _refresh_color(cfg, e3, c, tile_rows, tile_cols)
             return e3, de + de_i, na + na_i, np_ + nprop_all[c]
 
         zf = jnp.zeros((), jnp.float32)
