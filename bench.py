@@ -495,8 +495,11 @@ def main() -> None:
         # measured round 4: lj3d n_M=60 1.36e8 -> 1.81e8 (+33%); ka3d
         # REGRESSES catastrophically (4.3e5 — the 38-slot mixture precompute
         # lowers pathologically; docs/PERF.md round 4), 2D hard disks have
-        # no pair energy (flag is a no-op)
-        args.frozen_cache = args.workload == "lj3d"
+        # no pair energy (flag is a no-op).  The precompute costs ~nmax/n_M
+        # of the saved work, so it only pays when n_M >> nmax — gate the
+        # default on the actual operating point.
+        args.frozen_cache = (args.workload == "lj3d"
+                             and (args.moves or 60) >= 2 * (args.nmax or 24))
     if args.ih_k:
         from mcjax.ops import pallas_sweep as _ps
         _ps.IH_K = args.ih_k  # keep module default consistent (aux paths)

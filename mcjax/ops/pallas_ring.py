@@ -468,7 +468,12 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
         scratch_shapes=scratch,
         input_output_aliases={ext_idx: 0},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)),
+            # floor at 32M: the analytic estimate undercounts Mosaic's
+            # internal temporaries in 3D (observed 15.48M actual vs 13.7M
+            # estimated at lj3d 1M tile_rows=16 — a compile-time scoped-vmem
+            # OOM, docs/PERF.md round 4)
+            vmem_limit_bytes=min(max(vmem_bytes, 32 * 1024 * 1024),
+                                 120 * 1024 * 1024)),
         interpret=interpret,
     )(*args)
 
@@ -788,7 +793,12 @@ def ring_shift(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 120 * 1024 * 1024)),
+            # floor at 32M: the analytic estimate undercounts Mosaic's
+            # internal temporaries in 3D (observed 15.48M actual vs 13.7M
+            # estimated at lj3d 1M tile_rows=16 — a compile-time scoped-vmem
+            # OOM, docs/PERF.md round 4)
+            vmem_limit_bytes=min(max(vmem_bytes, 32 * 1024 * 1024),
+                                 120 * 1024 * 1024)),
         interpret=interpret,
     )(axis_arr, dir_arr, d_arr, bk3, masks_p, ext3, exto3)
     return ext3_n, exto3_n, ovf_map
@@ -895,7 +905,16 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
         def no_shift():
             return ext3, exto3, jnp.any(exto3 < 0)
 
-        ext3_n, exto3_n, ovf = jax.lax.cond(do_shift, with_shift, no_shift)
+        if cfg.shift_every == 1:
+            # shift every sweep (the production schedule): skip the cond —
+            # XLA stack-allocates a pallas_call's outputs inside a cond
+            # branch, which OOMs scoped vmem for 3D ring states (observed:
+            # "Ran out of memory in memory space vmem ... on stack for
+            # %branch_1_fun" at lj3d 1M, tile_rows=16)
+            ext3_n, exto3_n, ovf = with_shift()
+        else:
+            ext3_n, exto3_n, ovf = jax.lax.cond(do_shift, with_shift,
+                                                no_shift)
         m = xla_sweep.SweepMetrics(de, n_acc, n_prop, ovf)
         return (ext3_n, exto3_n, key, sweep + 1, ovf_acc | ovf), m
 
