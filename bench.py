@@ -303,14 +303,20 @@ def bench_ka3d(n_atoms: int, sweeps: int, n_moves: int, nmax: int,
     spec = (jnp.arange(n_atoms) % 5 == 4).astype(jnp.int32)
     state = init_mixture_state(cfg, stratified_positions(cfg), spec)
 
-    st, m = run_sweeps_pallas(cfg, ka, state, sweeps, tile_rows, 128,
-                              False, False, neighbor_unroll, slot_group,
-                              in_kernel_rng, fused, ih_k, frozen_cache)
+    # BOTH calls must share every static argument (frozen_cache included):
+    # round 4's "ka3d frozen-cache regresses 450x" was exactly this bug —
+    # the warmup compiled the cached kernel but the timed call omitted
+    # frozen_cache, so the timed region recompiled the UNcached kernel
+    # through the remote compiler (~3 min, i.e. the whole "regression").
+    def _run(st0):
+        return run_sweeps_pallas(cfg, ka, st0, sweeps, tile_rows, 128,
+                                 False, False, neighbor_unroll, slot_group,
+                                 in_kernel_rng, fused, ih_k, frozen_cache)
+
+    st, m = _run(state)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st.pos))
     t0 = time.perf_counter()
-    st2, m = run_sweeps_pallas(cfg, ka, st, sweeps, tile_rows, 128,
-                               False, False, neighbor_unroll, slot_group,
-                               in_kernel_rng, fused, ih_k)
+    st2, m = _run(st)
     _ = float(jnp.sum(m.delta_e)) + float(jnp.max(st2.pos))
     dt = time.perf_counter() - t0
 

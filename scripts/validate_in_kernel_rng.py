@@ -119,9 +119,17 @@ def lj_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
     box = (n / rho) ** (1.0 / 3.0)
     cps = int(box // 2.5)
     cps -= cps % 2
+    # Size the slab capacity for the ACTUAL cell width: small boxes quantize
+    # cps coarsely (quick: n=32768 -> cps=12 -> w=2.87, mean occupancy 19.0),
+    # so a fixed nmax=24 OVERFLOWS and the shift-rebin silently drops
+    # particles — which drifts the exact energy away from the dE trace and
+    # fails the anchor in BOTH RNG modes (round-4 bench regression: the
+    # anchor was reporting capacity loss, not kernel error).  1.8x the mean
+    # is the production safety ratio (bench lj3d: nmax 24 at mean 13.5).
+    nmax = max(24, int(math.ceil(1.8 * n / cps**3)))
     cfg = SimConfig(dim=3, n_atoms=n, box_length=box, cells_per_side=cps,
-                    nmax=24, n_moves=10, proposal="gaussian", step_size=0.12,
-                    beta=0.3, seed=0)
+                    nmax=nmax, n_moves=10, proposal="gaussian",
+                    step_size=0.12, beta=0.3, seed=0)
     pot = LennardJones(r_cut=2.5)
     st0 = init_state(cfg, positions=stratified_positions(cfg))
     e0 = float(total_energy_cells(cfg, pot, st0.pos, st0.occ))
@@ -135,6 +143,14 @@ def lj_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
 
     st_h, m_h = _run(cfg, pot, st0, sweeps, False, fused, ih_k)
     st_k, m_k = _run(cfg, pot, st0, sweeps, True, fused, ih_k)
+    # capacity first: an overflowed run drops particles, which breaks the
+    # anchor identity below for reasons that have nothing to do with the RNG
+    for tag, st in (("host", st_h), ("in-kernel", st_k)):
+        atoms = int(np.asarray(st.occ, np.int64).sum())
+        g.check(f"3D LJ capacity ({tag} RNG)",
+                not bool(st.overflow) and atoms == n,
+                f"overflow={bool(st.overflow)} atoms={atoms}/{n} "
+                f"(nmax={cfg.nmax})")
     r_h, _ = _acc_rate(m_h)
     r_k, _ = _acc_rate(m_k)
     g.check("3D LJ acceptance parity", abs(r_h - r_k) < 0.01,
