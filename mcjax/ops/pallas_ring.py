@@ -40,7 +40,6 @@ Reference analogue: the 9-launch + 8-D2H host loop this collapses,
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from functools import partial
 
@@ -132,7 +131,12 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
                        *, tile_rows: int = 16, tile_cols: int = 128,
                        interpret: bool = False, neighbor_unroll: int = 1,
                        slot_group: int = 8, in_kernel_rng: bool = False,
-                       ih_k: int = 0, frozen_cache: bool = False
+                       ih_k: int = 0, frozen_cache: bool = False,
+                       p_local: int | None = None,
+                       lb_local: jax.Array | None = None,
+                       masks_local: jax.Array | None = None,
+                       vma: tuple[str, ...] | None = None,
+                       mirror: bool | None = None
                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One color sub-step updating the ring state IN PLACE.
 
@@ -143,13 +147,30 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
     Move randomness: the host-Threefry tensors are drawn from ``key`` with
     the SAME substep_randoms call as every other engine — hard-core
     trajectories stay bitwise locked across all four engine generations.
+
+    Shard-local mode (mcjax.parallel.ring): ``p_local`` is this shard's
+    flat cell count (contiguous axis-0 slice of the global grid, the
+    fused-sharded convention — parallel/fused.py), ``lb_local``
+    [C, dim, p_local] / ``masks_local`` [2*dim, p_local] are the shard's
+    slices of the per-cell lower bounds and destination edge masks, and
+    ``mirror=False`` is REQUIRED: the ring aprons hold neighbor-SHARD
+    cells (ppermuted by the caller), not this shard's periodic wrap, so
+    the in-kernel mirror would write wrong halo data.  ``vma``: mesh axis
+    names the outputs vary over (compiled shard_map runs).
     """
     dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
     n_k = cfg.n_neighbors - 1
     assert tile_cols == 128, "ring path requires 128-lane tiles"
     n_planes = ext3.shape[1] // nmax
     PN = n_planes * nmax
-    P, padded, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
+    if p_local is None:
+        P, padded, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
+    else:
+        _, _, M2 = _fused_geometry(cfg)
+        P = p_local
+        padded = _round_up(max(P, tile_rows * tile_cols),
+                           tile_rows * tile_cols)
+        W = padded + 2 * M2 + 128
     WR = W // 128
     r0 = M2 // 128
     T = tile_rows * tile_cols
@@ -167,16 +188,26 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
     useds = [sorted({src for src, _ in plans[c]}) for c in range(C)]
     U = len(useds[0])
 
-    # host-constant per-cell data, stacked over colors for dynamic-row DMA
-    lb_np = np.stack([cells._flat_lower_bounds_np(cfg, c)
-                      for c in range(C)])                  # [C, dim, P]
-    lb_np = np.pad(lb_np, ((0, 0), (0, 0), (0, padded - P)))
-    lb3 = jnp.asarray(lb_np.reshape(C, dim, rp, cp))
-    masks_p = jnp.asarray(_fused_masks_np(bs, padded)).reshape(
-        2 * dim, rp, cp)
+    # per-cell data, stacked over colors for dynamic-row DMA: host
+    # constants on a single chip, shard-varying slices under shard_map
+    if lb_local is None:
+        lb_np = np.stack([cells._flat_lower_bounds_np(cfg, c)
+                          for c in range(C)])              # [C, dim, P]
+        lb_np = np.pad(lb_np, ((0, 0), (0, 0), (0, padded - P)))
+        lb3 = jnp.asarray(lb_np.reshape(C, dim, rp, cp))
+    else:
+        lb3 = jnp.pad(lb_local, ((0, 0), (0, 0), (0, padded - P))
+                      ).reshape(C, dim, rp, cp)
+    if masks_local is None:
+        masks_p = jnp.asarray(_fused_masks_np(bs, padded)).reshape(
+            2 * dim, rp, cp)
+    else:
+        masks_p = jnp.pad(masks_local, ((0, 0), (0, padded - P))
+                          ).reshape(2 * dim, rp, cp)
 
     use_field = False
-    mirror = _mirror_in_kernel(cfg, tile_rows, tile_cols)
+    if mirror is None:
+        mirror = _mirror_in_kernel(cfg, tile_rows, tile_cols)
     need_acc = pot.has_energy
     if in_kernel_rng:
         pick_u = disp = acc_u = None
@@ -417,10 +448,12 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    # under shard_map, outputs must declare their varying mesh axes
+    vma_set = frozenset(vma) if vma else None
     out_shapes = (
-        jax.ShapeDtypeStruct(ext3.shape, ext3.dtype),      # aliased ring
-        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32),
+        jax.ShapeDtypeStruct(ext3.shape, ext3.dtype, vma=vma_set),  # ring
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.float32, vma=vma_set),
+        jax.ShapeDtypeStruct((1, rp, cp), jnp.int32, vma=vma_set),
     )
     common = [sspec(1), any_spec, bspec(2 * dim)]
     if in_kernel_rng:

@@ -765,7 +765,8 @@ def pallas_color_substep(cfg: SimConfig, pot: Potential, color: int,
         origin_arr = (jnp.zeros((1, dim), jnp.float32) if origin is None
                       else jnp.asarray(origin, jnp.float32).reshape(1, dim))
     kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
-                          slot_group, use_scale, in_kernel_rng, field, ih_k)
+                          slot_group, use_scale, in_kernel_rng, field, ih_k,
+                          frozen_cache)
     grid = (rp // tile_rows, cp // tile_cols)
 
     def bspec(lead):

@@ -59,10 +59,33 @@ def test_two_process_pallas_and_ensemble_legs():
     assert out.stdout.count(": ok (") == 2
     assert "npt: atoms" in out.stdout
     assert "mixture: atoms" in out.stdout
-    # xla and pallas legs consume identical streams -> equal acceptance
+    # xla and pallas legs consume identical streams -> equal acceptance;
+    # the regex must match BOTH process lines or the parity check is vacuous
     import re
-    for line in out.stdout.splitlines():
-        m = re.search(r"xla: atoms \d+, accepted (\d+); pallas: "
-                      r"atoms \d+, accepted (\d+)", line)
-        if m:
-            assert m.group(1) == m.group(2)
+    matches = [m for line in out.stdout.splitlines()
+               if (m := re.search(r"xla: atoms \d+, accepted (\d+); pallas: "
+                                  r"atoms \d+, accepted (\d+)", line))]
+    assert len(matches) == 2, out.stdout[-2000:]
+    for m in matches:
+        assert m.group(1) == m.group(2)
+
+
+def test_two_process_fused_leg():
+    """The FLAGSHIP fused engine across the process boundary (VERDICT r4
+    item 6): a 2-shard 1-D mesh with one shard per process, so the
+    ring-apron halo ppermutes ride the inter-process transport; the leg
+    itself asserts bitwise equality against the sharded XLA engine and the
+    report line must confirm both the bitwise verdict and that the mesh
+    actually crossed processes."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "mcjax.launch", "--processes", "2",
+         "--devices-per-process", "1", "--sweeps", "2", "--legs", "fused",
+         "--port", "47939"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=570)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "launch: ok" in out.stdout
+    assert out.stdout.count("bitwise==xla") == 2
+    assert out.stdout.count("cross-process=True") == 2

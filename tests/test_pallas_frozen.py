@@ -90,3 +90,30 @@ def test_frozen_cache_classic_path_matches_fused():
                                   False, 1, 8, False, True, 0, True)
     assert np.array_equal(np.asarray(st_c.pos), np.asarray(st_f.pos))
     assert np.array_equal(np.asarray(m_c.accepted), np.asarray(m_f.accepted))
+
+
+def test_frozen_cache_classic_path_not_a_noop():
+    """LJ cached: classic and fused must match BITWISE.  Unlike the
+    square-well gate above (where cached == uncached exactly, so a
+    silently-dropped flag is undetectable), LJ's cached dE has a different
+    fp summation order than uncached — if the classic path drops
+    frozen_cache (the round-4 advisor finding: pallas_color_substep did
+    not forward it to _make_kernel), classic runs UNcached and diverges
+    bitwise from the cached fused trajectory."""
+    cfg = _cfg3d(n=120, seed=5)
+    pot = LennardJones(r_cut=2.5)
+    cfg.validate_against(pot.r_cut)
+    state = init_state(cfg, positions=stratified_positions(cfg))
+    st_c, m_c = run_sweeps_pallas(cfg, pot, state, 4, 8, 128, True,
+                                  False, 1, 8, False, False, 0, True)
+    st_f, m_f = run_sweeps_pallas(cfg, pot, state, 4, 8, 128, True,
+                                  False, 1, 8, False, True, 0, True)
+    assert np.array_equal(np.asarray(st_c.pos), np.asarray(st_f.pos))
+    assert np.array_equal(np.asarray(m_c.accepted), np.asarray(m_f.accepted))
+    assert np.array_equal(np.asarray(m_c.delta_e), np.asarray(m_f.delta_e))
+    # and the cached classic run must differ from an UNcached classic run
+    # (same seed) — proof the flag actually reached the kernel
+    st_u, m_u = run_sweeps_pallas(cfg, pot, state, 4, 8, 128, True,
+                                  False, 1, 8, False, False, 0, False)
+    assert not np.array_equal(np.asarray(m_c.delta_e),
+                              np.asarray(m_u.delta_e))
