@@ -144,6 +144,69 @@ def _leg_mixture(args, mesh) -> str:
     return f"mixture: atoms {total}, B {nb}, accepted {accepted}"
 
 
+def _leg_fused(args) -> str:
+    """Sharded FUSED-engine leg (VERDICT r4 item 6): the flagship
+    in-kernel-DMA kernel on a 2-shard 1-D mesh whose shards live in
+    DIFFERENT processes — the ring-apron halo ppermutes cross the process
+    boundary through the distributed runtime.  Gate: bitwise equality
+    against the sharded XLA engine on the SAME mesh (identical per-shard
+    Threefry streams — the tests/test_mesh_fused.py check, now with the
+    halo riding the inter-process transport)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mcjax.core.config import SimConfig
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import HardSphere
+    from mcjax.parallel import fused as pfused
+    from mcjax.parallel import mesh as pmesh, multihost
+
+    n, phi = 13000, 0.42
+    box = math.sqrt(n * math.pi / 4.0 / phi)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=8, n_moves=2, proposal="uniform", step_size=0.18,
+                    beta=1.0, seed=5)
+    pot = HardSphere(1.0)
+
+    # one device from each process -> every halo ppermute is inter-process
+    devs = jax.devices()
+    by_proc = {}
+    for d in devs:
+        by_proc.setdefault(d.process_index, d)
+    picked = [by_proc[p] for p in sorted(by_proc)][:2]
+    if len(picked) < 2:
+        picked = devs[:2]            # single-process fallback
+    mesh = Mesh(np.array(picked).reshape(2), ("x",))
+
+    st0 = init_state(cfg)
+    st_f = multihost.make_global_state(cfg, st0, mesh, ("x", None))
+    run_f = pfused.make_sharded_run_fused(
+        cfg, pot, mesh, "x", args.sweeps, tile_rows=8, interpret=True,
+        check_vma=False)
+    out_f, m_f = run_f(st_f)
+
+    run_x = pmesh.make_sharded_run_sweeps(
+        cfg, pot, mesh, ("x", None), args.sweeps, engine="xla")
+    st_x = multihost.make_global_state(cfg, st0, mesh, ("x", None))
+    out_x, m_x = run_x(st_x)
+
+    total = int(jax.jit(lambda x: jnp.sum(x))(out_f.occ))
+    assert total == cfg.n_atoms, f"fused conservation violated: {total}"
+    eq = bool(jax.jit(
+        lambda a, b: jnp.array_equal(a, b))(out_f.pos, out_x.pos))
+    assert eq, "fused-sharded trajectory != xla-sharded (bitwise)"
+    acc_f = int(jnp.sum(m_f.accepted))
+    acc_x = int(jnp.sum(m_x.accepted))
+    assert acc_f == acc_x > 0, (acc_f, acc_x)
+    xproc = picked[0].process_index != picked[-1].process_index
+    return (f"fused: atoms {total}, accepted {acc_f}, bitwise==xla, "
+            f"cross-process={xproc}")
+
+
 def child_main(args) -> None:
     """One process of the multi-process dryrun (also the pod entrypoint).
 
@@ -177,9 +240,11 @@ def child_main(args) -> None:
             reports.append(_leg_npt(args, mesh))
         elif leg == "mixture":
             reports.append(_leg_mixture(args, mesh))
+        elif leg == "fused":
+            reports.append(_leg_fused(args))
         else:
             raise SystemExit(f"unknown leg {leg!r} "
-                             "(known: xla, pallas, npt, mixture)")
+                             "(known: xla, pallas, npt, mixture, fused)")
     print(f"process {jax.process_index()}: ok ({'; '.join(reports)})",
           flush=True)
     jax.distributed.shutdown()
@@ -226,7 +291,8 @@ def main(argv=None) -> int:
     ap.add_argument("--legs", default="xla",
                     help="comma list of workload legs each process runs on "
                          "the global mesh: xla, pallas (interpret kernel), "
-                         "npt, mixture")
+                         "npt, mixture, fused (flagship halo across the "
+                         "process boundary, bitwise vs sharded XLA)")
     ap.add_argument("--n-atoms", type=int, default=1024)
     ap.add_argument("--phi", type=float, default=0.4)
     ap.add_argument("--coordinator", default=None,

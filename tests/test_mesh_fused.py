@@ -38,12 +38,15 @@ def _hd_config(n=13000, phi=0.42, seed=5):
     return cfg, HardSphere(1.0)
 
 
-def test_sharded_fused_bitwise_vs_sharded_xla():
-    cfg, pot = _hd_config()
+@pytest.mark.parametrize("n_shards,n_atoms", [(2, 13000), (4, 23500)])
+def test_sharded_fused_bitwise_vs_sharded_xla(n_shards, n_atoms):
+    """2 shards = the minimal pair; 4 shards adds shift traffic across
+    three interior shard boundaries (VERDICT r4 weak #5 / item 8)."""
+    cfg, pot = _hd_config(n=n_atoms)
     st = init_state(cfg)
     sweeps = 3
-    devs = jax.devices()[:2]
-    mesh = Mesh(np.array(devs).reshape(2), ("x",))
+    devs = jax.devices()[:n_shards]
+    mesh = Mesh(np.array(devs).reshape(n_shards), ("x",))
 
     run_f = pfused.make_sharded_run_fused(
         cfg, pot, mesh, "x", sweeps, tile_rows=8, interpret=True,
@@ -92,3 +95,19 @@ def test_fused_shard_geometry_rejects_thin_slices():
     cfg, _ = _hd_config(n=2000)
     with pytest.raises(ValueError):
         pfused.fused_shard_geometry(cfg, cfg.block_shape[0], tile_rows=8)
+
+
+def test_max_1d_shards_headline_config():
+    """The documented 1-D shard ceiling (docs/ARCHITECTURE.md, VERDICT r4
+    item 5): 64 chips at the 2D N=1M headline geometry with tile_rows 8."""
+    n = 1_048_576
+    box = math.sqrt(n * math.pi / 4.0 / 0.5)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=7, n_moves=8, proposal="uniform", step_size=0.18,
+                    beta=1.0, seed=0)
+    assert pfused.max_1d_shards(cfg, tile_rows=8) == 64
+    # every admitted count must satisfy the apron-containment geometry
+    Ps, padded, M2, W, Rr = pfused.fused_shard_geometry(cfg, 64, 8)
+    assert Ps >= M2 and Ps >= Rr
