@@ -48,20 +48,24 @@ def build(n_atoms: int, phi: float, cell_width_factor: float, nmax: int,
     return cfg, pot, state
 
 
-def run_rng_gate(ih_k: int) -> str:
+def run_rng_gate(ih_k: int, engine: str = "fused") -> str:
     """Quick in-process statistical gate for the in-kernel hardware PRNG
     (acceptance z-test + dE-anchor + EOS parity vs the host-Threefry path,
     scripts/validate_in_kernel_rng.run_gate) so every BENCH_r*.json records
     an rng_gate verdict for the defaults it benchmarked (VERDICT r3 #4b).
+    ``engine`` must be the kernel path that produced the headline number
+    (VERDICT r4 item 4a: certifying the fused engine while benchmarking the
+    ring engine overstates what was validated).
     Returns "pass" / "fail" / "error:<msg>"."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
     try:
         from validate_in_kernel_rng import run_gate
-        res = run_gate(ih_k=ih_k, fused=True, quick=True, quiet=True)
+        res = run_gate(ih_k=ih_k, quick=True, quiet=True, engine=engine)
         print(f"# rng_gate: {'pass' if res['ok'] else 'fail'} "
-              f"(ih_k={res['ih_k']}, {res['checks']} checks, "
-              f"failures={res['failures']})", file=sys.stderr)
+              f"(ih_k={res['ih_k']}, engine={res['engine']}, "
+              f"{res['checks']} checks, failures={res['failures']})",
+              file=sys.stderr)
         return "pass" if res["ok"] else "fail"
     except Exception as e:  # never let the gate take down the benchmark
         print(f"# rng_gate errored: {e!r}", file=sys.stderr)
@@ -202,6 +206,77 @@ def sharded_fused_check(in_kernel_rng: bool = True) -> None:
     np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(ref.pos))
     np.testing.assert_array_equal(np.asarray(out.occ), np.asarray(ref.occ))
     print("# sharded FUSED check: compiled 1-device TPU mesh "
+          f"(in_kernel_rng={in_kernel_rng}), bitwise == single-chip",
+          file=sys.stderr)
+
+
+def _small_hd(n: int = 16384, phi: float = 0.45, seed: int = 3):
+    from mcjax.core.config import SimConfig
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import HardSphere
+
+    box = math.sqrt(n * math.pi / 4.0 / phi)
+    cps = int(box // 2.0)
+    cps -= cps % 2
+    cfg = SimConfig(dim=2, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=10, n_moves=4, proposal="uniform", step_size=0.18,
+                    beta=1.0, seed=seed)
+    return cfg, HardSphere(1.0), init_state(cfg)
+
+
+def ring_fused_bitwise_check(in_kernel_rng: bool = True) -> None:
+    """One-shot TPU probe: the RING engine's trajectories are BITWISE equal
+    to the fused engine's under the in-kernel hardware PRNG — the claim at
+    ops/pallas_ring.py's docstring, previously evidenced on hardware only
+    for host RNG (VERDICT r4 item 4b).  Both engines seed the kernel PRNG
+    from the same (substep key, tile id) and tile rows identically, so the
+    streams coincide; this check turns that argument into a measured fact
+    recorded in every bench run's stderr."""
+    import numpy as np
+
+    from mcjax.ops.pallas_ring import run_sweeps_ring
+    from mcjax.ops.pallas_sweep import run_sweeps_fused
+
+    cfg, pot, st = _small_hd()
+    sweeps, tr = 5, 8
+    st_r, _ = run_sweeps_ring(cfg, pot, st, sweeps, tr, 128, False, 1, 8,
+                              in_kernel_rng, 0, None, True, False)
+    st_f, _ = jax.jit(lambda s: run_sweeps_fused(
+        cfg, pot, s, sweeps, tr, 128, False, 1, 8, in_kernel_rng, 0))(st)
+    assert int(jnp.sum(st_r.occ)) == cfg.n_atoms, "ring run lost particles"
+    np.testing.assert_array_equal(np.asarray(st_r.pos), np.asarray(st_f.pos))
+    np.testing.assert_array_equal(np.asarray(st_r.occ), np.asarray(st_f.occ))
+    print("# ring==fused bitwise check: compiled TPU, "
+          f"in_kernel_rng={in_kernel_rng}, trajectories identical",
+          file=sys.stderr)
+
+
+def sharded_ring_check(in_kernel_rng: bool = True) -> None:
+    """Compile + run the SHARDED RING engine (the 2D flagship under the
+    mesh, parallel/ring.py) on a REAL 1-device TPU mesh (interpret=False,
+    check_vma=True) and assert bitwise parity with the single-chip ring
+    loop run with shard_fold=0 — the engine the 2D headline actually ships
+    proven at the Mosaic level (VERDICT r4 item 2)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mcjax.ops.pallas_ring import run_sweeps_ring
+    from mcjax.parallel import ring as pring
+
+    cfg, pot, st = _small_hd()
+    sweeps, tr = 5, 8
+    m = Mesh(np.array(jax.devices()[:1]).reshape(1), ("x",))
+    run = pring.make_sharded_run_ring(
+        cfg, pot, m, "x", sweeps, tile_rows=tr,
+        in_kernel_rng=in_kernel_rng, check_vma=True)
+    out, _ = run(pring.shard_state_ring(cfg, st, m, "x"))
+
+    ref, _ = run_sweeps_ring(cfg, pot, st, sweeps, tr, 128, False, 1, 8,
+                             in_kernel_rng, 0, 0, False, False)
+    assert int(jnp.sum(out.occ)) == cfg.n_atoms, "sharded ring lost particles"
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.occ), np.asarray(ref.occ))
+    print("# sharded RING check: compiled 1-device TPU mesh "
           f"(in_kernel_rng={in_kernel_rng}), bitwise == single-chip",
           file=sys.stderr)
 
@@ -446,6 +521,13 @@ def main() -> None:
                          "the ~1.5 ms/sweep XLA glue the loop ablations "
                          "attributed (docs/PERF.md round 4)")
     ap.add_argument("--no-ring", dest="ring", action="store_false")
+    ap.add_argument("--one-call", action="store_true", default=None,
+                    help="ring engine: run ALL color sub-steps of a sweep "
+                         "in ONE pallas_call (grid carries the sub-step "
+                         "index; ops/pallas_ring.ring_sweep_onecall). "
+                         "Default: on for the 2D ring engine when the "
+                         "mirror geometry holds (measured winner, round 5)")
+    ap.add_argument("--no-one-call", dest="one_call", action="store_false")
     ap.add_argument("--ring-xla-shift", action="store_true",
                     help="ring engine: use the XLA flat-merge grid shift "
                          "instead of the ring-native Pallas shift kernel")
@@ -468,6 +550,12 @@ def main() -> None:
                          "tests/test_pallas_frozen.py)")
     ap.add_argument("--no-frozen-cache", dest="frozen_cache",
                     action="store_false")
+    ap.add_argument("--inv-newton", type=int, default=None,
+                    help="Newton refinements on the kernel's approximate "
+                         "reciprocal (potentials.PL_INV_NEWTON; 2 = "
+                         "f32-exact default, 1 = rel ~1e-5 on 1/r2 — a "
+                         "deterministic potential perturbation inside the "
+                         "f32 modelling error, dE-anchor gated)")
     ap.add_argument("--no-rng-gate", action="store_true",
                     help="skip the in-bench quick statistical RNG gate "
                          "(rng_gate field becomes 'skipped')")
@@ -498,24 +586,37 @@ def main() -> None:
         # route through bench_lj3d/bench_ka3d (--ring opt-in there).
         args.ring = args.workload == "hard-disk"
     if args.frozen_cache is None:
-        # measured round 4: lj3d n_M=60 1.36e8 -> 1.81e8 (+33%); ka3d
-        # REGRESSES catastrophically (4.3e5 — the 38-slot mixture precompute
-        # lowers pathologically; docs/PERF.md round 4), 2D hard disks have
-        # no pair energy (flag is a no-op).  The precompute costs ~nmax/n_M
-        # of the saved work, so it only pays when n_M >> nmax — gate the
-        # default on the actual operating point.
-        args.frozen_cache = (args.workload == "lj3d"
-                             and (args.moves or 60) >= 2 * (args.nmax or 24))
+        # measured round 4: lj3d n_M=60 1.36e8 -> 1.81e8 (+33%).  (The
+        # round-4 "ka3d regresses 450x under the cache" claim was a BENCH
+        # BUG — the timed call omitted frozen_cache and recompiled inside
+        # the timed region; withdrawn in docs/PERF.md's round-4 correction.
+        # The corrected ka3d frozen-cache measurement is in the round-5
+        # PERF table.)  2D hard disks have no pair energy (flag is a
+        # no-op).  The precompute costs ~nmax/n_M of the saved work, so it
+        # only pays when n_M >> nmax — gate the default on the actual
+        # operating point.
+        args.frozen_cache = (args.workload in ("lj3d", "ka3d")
+                             and (args.moves or 60)
+                             >= 2 * (args.nmax or (38 if args.workload
+                                                   == "ka3d" else 24)))
     if args.ih_k:
         from mcjax.ops import pallas_sweep as _ps
         _ps.IH_K = args.ih_k  # keep module default consistent (aux paths)
+    if args.inv_newton is not None:
+        from mcjax.models import potentials as _pots
+        _pots.PL_INV_NEWTON = args.inv_newton  # trace-time read
+
+    # the gate must exercise the engine that produces the number it
+    # certifies (VERDICT r4 item 4a)
+    gate_engine = ("ring" if args.ring
+                   else ("fused" if args.fused else "classic"))
 
     def emit(result: dict) -> None:
         if args.no_rng_gate or not args.in_kernel_rng or \
                 args.workload in ("reference-lj", "ecmc"):
             result["rng_gate"] = "skipped"
         else:
-            result["rng_gate"] = run_rng_gate(args.ih_k)
+            result["rng_gate"] = run_rng_gate(args.ih_k, gate_engine)
         print(json.dumps(result))
 
     if args.workload == "ecmc":
@@ -612,7 +713,7 @@ def main() -> None:
     if args.no_rng_gate or engine != "pallas" or not args.in_kernel_rng:
         result["rng_gate"] = "skipped"
     else:
-        result["rng_gate"] = run_rng_gate(args.ih_k)
+        result["rng_gate"] = run_rng_gate(args.ih_k, gate_engine)
     print(json.dumps(result))
     print(f"# {args.sweeps} sweeps in {dt:.3f}s; acceptance "
           f"{accepted / max(proposed, 1):.3f}; atoms {int(st2.occ.sum())}; "
@@ -622,6 +723,11 @@ def main() -> None:
     if engine == "pallas" and not args.no_sharded_check:
         sharded_pallas_check()
         sharded_fused_check(in_kernel_rng=args.in_kernel_rng)
+        if args.ring:
+            # the engine the headline actually ran: prove it bitwise on
+            # hardware, single-chip vs fused AND sharded vs single-chip
+            ring_fused_bitwise_check(in_kernel_rng=args.in_kernel_rng)
+            sharded_ring_check(in_kernel_rng=args.in_kernel_rng)
 
 
 if __name__ == "__main__":

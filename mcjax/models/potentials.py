@@ -44,18 +44,29 @@ def _safe_inv(r2: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / jnp.maximum(r2, 1e-12)
 
 
+# Newton refinement steps applied to the VPU's approximate reciprocal in
+# _pl_safe_inv.  2 (default) is f32-exact (error ~(rel0)^4); 1 leaves a
+# ~1e-5 relative error on 1/r2 — a deterministic potential perturbation far
+# inside the f32-LJ modelling error, gated by the dE-anchor + EOS checks
+# (scripts/validate_in_kernel_rng.py runs them on every bench).  Read at
+# TRACE time (like pallas_sweep.IH_K): set it only in a fresh process
+# (bench.py --inv-newton).
+PL_INV_NEWTON = 2
+
+
 def _pl_safe_inv(r2: jnp.ndarray) -> jnp.ndarray:
     """Guarded reciprocal for Pallas TPU kernels: the VPU's approximate
-    reciprocal + two Newton refinements (error ~(rel0)^4, i.e. f32-exact),
-    ~5 one-cycle vector ops where an exact divide serializes for tens of
-    cycles per pair slot — the divide was the single largest cost in the
-    3D LJ sub-sweep kernel (2 divides per pair slot)."""
+    reciprocal + PL_INV_NEWTON Newton refinements, ~5 one-cycle vector ops
+    where an exact divide serializes for tens of cycles per pair slot —
+    the divide was the single largest cost in the 3D LJ sub-sweep kernel
+    (2 divides per pair slot)."""
     from jax.experimental import pallas as pl
 
     r2s = jnp.maximum(r2, 1e-12)
     x = pl.reciprocal(r2s, approx=True)
-    x = x * (2.0 - r2s * x)
-    return x * (2.0 - r2s * x)
+    for _ in range(PL_INV_NEWTON):
+        x = x * (2.0 - r2s * x)
+    return x
 
 
 @dataclasses.dataclass(frozen=True)

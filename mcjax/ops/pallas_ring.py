@@ -515,6 +515,416 @@ def ring_color_substep(cfg: SimConfig, pot: Potential,
     return ext3_new, de, n_acc
 
 
+def ring_sweep_onecall(cfg: SimConfig, pot: Potential,
+                       ext3: jax.Array, exto3: jax.Array,
+                       perm: jax.Array, k_sub: jax.Array,
+                       beta: jax.Array | float | None = None,
+                       scale: jax.Array | None = None,
+                       *, tile_rows: int = 16, tile_cols: int = 128,
+                       interpret: bool = False, neighbor_unroll: int = 1,
+                       slot_group: int = 8, in_kernel_rng: bool = False,
+                       ih_k: int = 0, frozen_cache: bool = False
+                       ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """ALL n_colors color sub-steps of one sweep in a SINGLE pallas_call
+    (VERDICT r4 item 3: the sweep was still 4+1 dispatches; the loop
+    ablations put the remaining per-sweep dispatch + carry glue at
+    ~0.5 ms of the 1.44 ms n_M=8 sweep, docs/PERF.md round 4).
+
+    The grid is (n_colors, tiles): the leading axis is the SUB-STEP INDEX
+    ``i`` (TPU grids iterate sequentially, last axis fastest, so sub-step
+    i+1 starts only after every tile of sub-step i wrote back — manual
+    in-body DMA keeps that ordering exact), and the active color is
+    ``perm[i]``, the sweep's shuffled schedule.
+
+    Fault-rule compliance (docs/PERF.md round-4 item 5: DMA indices must
+    be raw SMEM scalars at STATIC slots or program-id arithmetic — never
+    arithmetic on SMEM values, never dynamic-slot SMEM loads):
+
+      * ``perm`` rides in SMEM and is only ever read at STATIC slots;
+        the active color resolves as C scalar predicates
+        act[cc] = OR_j (i == j) & (perm[j] == cc) — program-id compares
+        against static-slot loads, used exclusively in pl.when;
+      * every own-row / lb / write-back / mirror DMA moves into the
+        per-color pl.when(act[cc]) branch with a STATIC color index —
+        the exact pattern the 4-call ring kernel proves in production
+        for its neighbor-apron DMAs;
+      * the in-kernel PRNG seed for sub-step i is selected by
+        sum_j (i == j) * seeds[j] (static-slot loads, program-id
+        weights) and fed to the shared kernel body as an explicit
+        (s0, s1, tid=t) tuple with tid = the tile index — bitwise the
+        stream the per-color call derives from its (tiles, 1) grid.
+
+    Host-RNG tensors stack per sub-step ([C * n_m, ...] blocks indexed by
+    i), drawn from the identical fold_in(k_sub, i) tree — trajectories
+    are BITWISE equal to the 4-call ring engine in both RNG modes
+    (tests/test_pallas_ring.py).
+
+    Requires the in-kernel-mirror geometry (padded == P): sub-step i+1
+    reads color perm[i]'s ring aprons, so they must be refreshed inside
+    the call — the first/last-tile mirror DMAs do it per branch.
+
+    Reference analogue: the 9-launch + 8-D2H host loop,
+    /root/reference/CUDA-Parallel-MC/CUDA-Parallel-MC/kernel.cu:652-701.
+    """
+    dim, nmax, n_m = cfg.dim, cfg.nmax, cfg.n_moves
+    n_k = cfg.n_neighbors - 1
+    assert tile_cols == 128, "ring path requires 128-lane tiles"
+    n_planes = ext3.shape[1] // nmax
+    PN = n_planes * nmax
+    P, padded, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
+    if not _mirror_in_kernel(cfg, tile_rows, tile_cols):
+        raise ValueError(
+            "ring_sweep_onecall requires the in-kernel-mirror geometry "
+            f"(padded == P and aprons within one tile); got P={P}, "
+            f"padded={padded}, tile_rows={tile_rows}")
+    r0 = M2 // 128
+    Pr = P // 128
+    T = tile_rows * tile_cols
+    rp, cp = padded // tile_cols, tile_cols
+    TR, TC = tile_rows, tile_cols
+    L = T + 2 * M2 + 128
+    LR = L // 128
+    strides, _, _ = _fused_geometry(cfg)
+    bs = cfg.block_shape
+    box = cfg.box_length
+    C = cfg.n_colors
+
+    plans = [cells.neighbor_plan(dim, c) for c in range(C)]
+    useds = [sorted({src for src, _ in plans[c]}) for c in range(C)]
+    U = len(useds[0])
+
+    lb_np = np.stack([cells._flat_lower_bounds_np(cfg, c)
+                      for c in range(C)])                  # [C, dim, P]
+    lb_np = np.pad(lb_np, ((0, 0), (0, 0), (0, padded - P)))
+    lb3 = jnp.asarray(lb_np.reshape(C, dim, rp, cp))
+    masks_p = jnp.asarray(_fused_masks_np(bs, padded)).reshape(
+        2 * dim, rp, cp)
+
+    need_acc = pot.has_energy
+    keys = [jax.random.fold_in(k_sub, i) for i in range(C)]
+    if in_kernel_rng:
+        seed_arr = jnp.stack([jax.lax.bitcast_convert_type(
+            jax.random.key_data(k), jnp.int32).reshape(2) for k in keys])
+
+    def to_tiles(x, lead):
+        x = x.reshape(lead, P)
+        x = jnp.pad(x, ((0, 0), (0, padded - P)))
+        return x.reshape(lead, rp, cp)
+
+    if not in_kernel_rng:
+        picks, disps, accus = [], [], []
+        for k in keys:
+            pu, du, au = xla_sweep.substep_randoms(cfg, k, (P,),
+                                                   need_acc=need_acc)
+            picks.append(pu.reshape(n_m, P))
+            disps.append(du.reshape(n_m * dim, P))
+            if need_acc:
+                accus.append(au.reshape(n_m, P))
+        pick_p = to_tiles(jnp.concatenate(picks), C * n_m)
+        disp_p = to_tiles(jnp.concatenate(disps), C * n_m * dim)
+        if need_acc:
+            accu_p = to_tiles(jnp.concatenate(accus), C * n_m)
+
+    beta_static = None
+    if beta is None:
+        beta_static = cfg.beta
+        beta_arr = jnp.zeros((1, 1), jnp.float32)
+    elif isinstance(beta, (int, float)):
+        beta_static = float(beta)
+        beta_arr = jnp.zeros((1, 1), jnp.float32)
+    else:
+        beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+    use_scale = scale is not None
+    scale2_arr = (jnp.asarray(scale, jnp.float32).reshape(1, 1) ** 2
+                  if use_scale else jnp.zeros((1, 1), jnp.float32))
+    perm_arr = jnp.asarray(perm, jnp.int32).reshape(1, C)
+
+    base_kernel = _make_kernel(cfg, pot, n_k, beta_static, neighbor_unroll,
+                               slot_group, use_scale, in_kernel_rng, None,
+                               ih_k, frozen_cache)
+    body = base_kernel.body
+
+    def sweep_kernel(*refs):
+        n_rng = 1 if in_kernel_rng else (3 if need_acc else 2)
+        (perm_ref, lb3_ref, mask_ref), rest = refs[:3], refs[3:]
+        rng_refs, rest = rest[:n_rng], rest[n_rng:]
+        (beta_ref, scale2_ref, extp_ref, exto_ref,
+         out_ext_ref, de_ref, acc_ref,
+         own_s, occ_s, lb_s, out_s, sup_pos, sup_occ, nbrs, nbro,
+         sems, own_sem) = rest
+        if in_kernel_rng:
+            seed_ref = rng_refs[0]              # SMEM [C, 2]
+            pick_ref = disp_ref = accu_ref = None
+        else:
+            pick_ref, disp_ref = rng_refs[0], rng_refs[1]
+            accu_ref = rng_refs[2] if need_acc else None
+            seed_ref = None
+
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        # active color: program-id compares x static-slot SMEM loads only
+        act = []
+        for cc in range(C):
+            a = (i == 0) & (perm_ref[0, 0] == cc)
+            for j in range(1, C):
+                a = a | ((i == j) & (perm_ref[0, j] == cc))
+            act.append(a)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1)
+        slot = jax.lax.rem(t, 2)
+
+        def dma_pair(cc, tt, s, u):
+            src = useds[cc][u]
+            return (pltpu.make_async_copy(
+                        extp_ref.at[src, :, pl.ds(tt * TR, LR), :],
+                        sup_pos.at[s, u], sems.at[s, 2 * u]),
+                    pltpu.make_async_copy(
+                        exto_ref.at[src, pl.ds(tt * TR, LR), :],
+                        sup_occ.at[s, u], sems.at[s, 2 * u + 1]))
+
+        def window_pos(u, a):
+            rr, sh = divmod(a, 128)
+            if sh == 0:
+                return sup_pos[slot, u, :, rr:rr + TR, :]
+            w = sup_pos[slot, u, :, rr:rr + TR + 1, :]
+            ua = jnp.roll(w[:, :TR], -sh, axis=2)
+            ub = jnp.roll(w[:, 1:TR + 1], -sh, axis=2)
+            return jnp.where((lane < 128 - sh)[None], ua, ub)
+
+        def window_occ(u, a):
+            rr, sh = divmod(a, 128)
+            if sh == 0:
+                return sup_occ[slot, u, rr:rr + TR, :]
+            w = sup_occ[slot, u, rr:rr + TR + 1, :]
+            ua = jnp.roll(w[:TR], -sh, axis=1)
+            ub = jnp.roll(w[1:TR + 1], -sh, axis=1)
+            return jnp.where(lane < 128 - sh, ua, ub)
+
+        def dmask(k, s):
+            return mask_ref[2 * k + (0 if s > 0 else 1)]
+
+        for cc in range(C):
+            @pl.when(act[cc])
+            def _(cc=cc):
+                # own rows / occupancy / lower bounds at the STATIC color
+                cp_own = pltpu.make_async_copy(
+                    extp_ref.at[cc, :, pl.ds(r0 + t * TR, TR), :],
+                    own_s, own_sem.at[0])
+                cp_occ = pltpu.make_async_copy(
+                    exto_ref.at[cc, pl.ds(r0 + t * TR, TR), :],
+                    occ_s.at[0], own_sem.at[1])
+                cp_lb = pltpu.make_async_copy(
+                    lb3_ref.at[cc, :, pl.ds(t * TR, TR), :],
+                    lb_s, own_sem.at[2])
+                cp_own.start()
+                cp_occ.start()
+                cp_lb.start()
+
+                even = slot == 0
+
+                def start_all(tt, s):
+                    for u in range(U):
+                        a, b = dma_pair(cc, tt, s, u)
+                        a.start()
+                        b.start()
+
+                def wait_all(tt, s):
+                    for u in range(U):
+                        a, b = dma_pair(cc, tt, s, u)
+                        a.wait()
+                        b.wait()
+
+                @pl.when(t == 0)
+                def _():
+                    start_all(t, 0)
+
+                @pl.when((t + 1 < nt) & even)
+                def _():
+                    start_all(t + 1, 1)
+
+                @pl.when((t + 1 < nt) & jnp.logical_not(even))
+                def _():
+                    start_all(t + 1, 0)
+
+                @pl.when(even)
+                def _():
+                    wait_all(t, 0)
+
+                @pl.when(jnp.logical_not(even))
+                def _():
+                    wait_all(t, 1)
+
+                # static compose (the 4-call ring kernel's body verbatim)
+                for j, (src, shifts) in enumerate(plans[cc]):
+                    u = useds[cc].index(src)
+                    a0 = M2 + sum(s * strides[k]
+                                  for k, s in enumerate(shifts))
+                    v = window_pos(u, a0)
+                    o = window_occ(u, a0)
+                    corr = [(k, shifts[k]) for k in range(1, dim)
+                            if shifts[k]]
+                    for k, s in corr:
+                        m = dmask(k, s) > 0.0
+                        a = a0 - s * bs[k] * strides[k]
+                        v = jnp.where(m[None], window_pos(u, a), v)
+                        o = jnp.where(m, window_occ(u, a), o)
+                    if len(corr) == 2:
+                        (k1, s1), (k2, s2) = corr
+                        m12 = (dmask(k1, s1) > 0.0) & (dmask(k2, s2) > 0.0)
+                        a = (a0 - s1 * bs[k1] * strides[k1]
+                             - s2 * bs[k2] * strides[k2])
+                        v = jnp.where(m12[None], window_pos(u, a), v)
+                        o = jnp.where(m12, window_occ(u, a), o)
+                    for k in range(dim):
+                        s = shifts[k]
+                        if s:
+                            adj = jnp.float32(s * box) * dmask(k, s)
+                            row = jax.lax.broadcasted_iota(
+                                jnp.int32, (PN, 1, 1), 0)
+                            psel = (row >= k * nmax) & (row < (k + 1) * nmax)
+                            v = jnp.where(psel, v + adj[None], v)
+                    nbrs[j * PN:(j + 1) * PN] = v
+                    nbro[j] = o
+
+                cp_own.wait()
+                cp_occ.wait()
+                cp_lb.wait()
+
+        # padding cells (wrapped ring tail) are inert
+        cell_idx = (t * T
+                    + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0) * TC
+                    + lane)
+        occ_s[0] = jnp.where(cell_idx < P, occ_s[0], 0)
+
+        if in_kernel_rng:
+            s0 = jnp.int32(0)
+            s1 = jnp.int32(0)
+            for j in range(C):
+                pj = (i == j).astype(jnp.int32)
+                s0 = s0 + pj * seed_ref[j, 0]
+                s1 = s1 + pj * seed_ref[j, 1]
+            seed_arg = (s0, s1, t)
+        else:
+            seed_arg = None
+
+        body(own_s, occ_s, nbrs, nbro, lb_s, pick_ref, disp_ref,
+             accu_ref, seed_arg, beta_ref, scale2_ref,
+             out_s, de_ref, acc_ref, None)
+
+        for cc in range(C):
+            @pl.when(act[cc])
+            def _(cc=cc):
+                cp_out = pltpu.make_async_copy(
+                    out_s, out_ext_ref.at[cc, :, pl.ds(r0 + t * TR, TR), :],
+                    own_sem.at[3])
+                cp_out.start()
+                cp_out.wait()
+
+                # in-kernel apron mirror: MANDATORY here (the next sub-step
+                # reads this color's aprons within the same call)
+                @pl.when(t == nt - 1)
+                def _():
+                    cp_h = pltpu.make_async_copy(
+                        out_s.at[:, pl.ds(TR - r0, r0), :],
+                        out_ext_ref.at[cc, :, pl.ds(0, r0), :],
+                        own_sem.at[4])
+                    cp_h.start()
+                    cp_h.wait()
+
+                @pl.when(t == 0)
+                def _():
+                    cp_t = pltpu.make_async_copy(
+                        out_s.at[:, pl.ds(0, r0 + 1), :],
+                        out_ext_ref.at[cc, :, pl.ds(r0 + Pr, r0 + 1), :],
+                        own_sem.at[5])
+                    cp_t.start()
+                    cp_t.wait()
+
+    grid = (C, rp // tile_rows)
+
+    def bspec(lead):
+        return pl.BlockSpec((lead, tile_rows, tile_cols),
+                            lambda i, t: (0, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bspec_i(lead):
+        """Per-sub-step blocks (host-RNG tensors stacked over i)."""
+        return pl.BlockSpec((lead, tile_rows, tile_cols),
+                            lambda i, t: (i, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def sspec(cols=1, rows=1):
+        return pl.BlockSpec((rows, cols), lambda i, t: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct(ext3.shape, ext3.dtype),          # aliased ring
+        jax.ShapeDtypeStruct((C, rp, cp), jnp.float32),        # de per (i,t)
+        jax.ShapeDtypeStruct((C, rp, cp), jnp.int32),          # acc per (i,t)
+    )
+    de_spec = pl.BlockSpec((1, tile_rows, tile_cols), lambda i, t: (i, t, 0),
+                           memory_space=pltpu.VMEM)
+    common = [sspec(C), any_spec, bspec(2 * dim)]
+    if in_kernel_rng:
+        in_specs = common + [sspec(2, C), sspec(), sspec(),
+                             any_spec, any_spec]
+        args = (perm_arr, lb3, masks_p, seed_arr, beta_arr, scale2_arr,
+                ext3, exto3)
+        ext_idx = 6
+    elif need_acc:
+        in_specs = common + [bspec_i(n_m), bspec_i(n_m * dim), bspec_i(n_m),
+                             sspec(), sspec(), any_spec, any_spec]
+        args = (perm_arr, lb3, masks_p, pick_p, disp_p, accu_p,
+                beta_arr, scale2_arr, ext3, exto3)
+        ext_idx = 8
+    else:
+        in_specs = common + [bspec_i(n_m), bspec_i(n_m * dim),
+                             sspec(), sspec(), any_spec, any_spec]
+        args = (perm_arr, lb3, masks_p, pick_p, disp_p,
+                beta_arr, scale2_arr, ext3, exto3)
+        ext_idx = 7
+
+    scratch = [
+        pltpu.VMEM((PN, TR, TC), jnp.float32),             # own_s
+        pltpu.VMEM((1, TR, TC), jnp.int32),                # occ_s
+        pltpu.VMEM((dim, TR, TC), jnp.float32),            # lb_s
+        pltpu.VMEM((PN, TR, TC), jnp.float32),             # out_s
+        pltpu.VMEM((2, U, PN, LR, 128), jnp.float32),      # sup_pos
+        pltpu.VMEM((2, U, LR, 128), jnp.int32),            # sup_occ
+        pltpu.VMEM((n_k * PN, TR, TC), jnp.float32),       # nbrs
+        pltpu.VMEM((n_k, TR, TC), jnp.int32),              # nbro
+        pltpu.SemaphoreType.DMA((2, 2 * U)),
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+    vmem_bytes = (
+        2 * 4 * U * (PN + 1) * L
+        + 4 * n_k * (PN + 1) * T
+        + 4 * T * (3 * PN + 1 + dim + 2 * dim + n_m * (2 + dim) + 4)
+        + 8 * 1024 * 1024)
+
+    ext3_new, de_map, acc_map = pl.pallas_call(
+        sweep_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(any_spec, de_spec, de_spec),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        input_output_aliases={ext_idx: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(vmem_bytes, 32 * 1024 * 1024),
+                                 120 * 1024 * 1024)),
+        interpret=interpret,
+    )(*args)
+
+    de = jnp.sum(de_map)
+    n_acc = jnp.sum(acc_map)
+    return ext3_new, de, n_acc
+
+
 def ring_shift(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
                axis: jax.Array, d: jax.Array, n_planes: int,
                *, tile_rows: int = 32, tile_cols: int = 128,
@@ -866,15 +1276,19 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
                          in_kernel_rng: bool = False, ih_k: int = 0,
                          shard_fold: int | None = None,
                          pallas_shift: bool = True,
-                         frozen_cache: bool = False
+                         frozen_cache: bool = False,
+                         one_call: bool = False
                          ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """run_sweeps on the in-place ring engine (single chip).
 
     Per sweep: n_colors aliased in-place kernel calls + tiny apron-sliver
     refreshes + the grid shift (ring-native Pallas merge when
     ``pallas_shift``, else the flat XLA merge) — no other XLA state work.
-    Bitwise-equal trajectories to run_sweeps_fused (same schedule tree,
-    same substep streams; tests/test_pallas_ring.py)."""
+    ``one_call=True`` collapses the n_colors kernel calls into ONE
+    pallas_call whose grid carries the sub-step index (ring_sweep_onecall;
+    requires the in-kernel-mirror geometry).  Bitwise-equal trajectories
+    to run_sweeps_fused in every mode (same schedule tree, same substep
+    streams; tests/test_pallas_ring.py)."""
     n_colors = cfg.n_colors
     P, padded, M2, W = _ring_geometry(cfg, tile_rows, tile_cols)
     ext3, exto3 = _ring_state(cfg, state.pos, state.occ, tile_rows,
@@ -892,24 +1306,33 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
         focc_all = exto3.reshape(n_colors, W)[:, M2:M2 + P]
         nprop_all = n_m * jnp.sum((focc_all > 0).astype(jnp.int32), axis=1)
 
-        def color_body(i, carry2):
-            e3, de, na, np_ = carry2
-            c = perm[i]
-            k = jax.random.fold_in(k_sub, i)
-            e3, de_i, na_i = ring_color_substep(
-                cfg, pot, e3, exto3, c, k,
+        if one_call:
+            ext3, de, n_acc = ring_sweep_onecall(
+                cfg, pot, ext3, exto3, perm, k_sub,
                 tile_rows=tile_rows, tile_cols=tile_cols,
                 interpret=interpret, neighbor_unroll=neighbor_unroll,
                 slot_group=slot_group, in_kernel_rng=in_kernel_rng,
                 ih_k=ih_k, frozen_cache=frozen_cache)
-            if not _mirror_in_kernel(cfg, tile_rows, tile_cols):
-                e3 = _refresh_color(cfg, e3, c, tile_rows, tile_cols)
-            return e3, de + de_i, na + na_i, np_ + nprop_all[c]
+            n_prop = jnp.sum(nprop_all)        # order-independent total
+        else:
+            def color_body(i, carry2):
+                e3, de, na, np_ = carry2
+                c = perm[i]
+                k = jax.random.fold_in(k_sub, i)
+                e3, de_i, na_i = ring_color_substep(
+                    cfg, pot, e3, exto3, c, k,
+                    tile_rows=tile_rows, tile_cols=tile_cols,
+                    interpret=interpret, neighbor_unroll=neighbor_unroll,
+                    slot_group=slot_group, in_kernel_rng=in_kernel_rng,
+                    ih_k=ih_k, frozen_cache=frozen_cache)
+                if not _mirror_in_kernel(cfg, tile_rows, tile_cols):
+                    e3 = _refresh_color(cfg, e3, c, tile_rows, tile_cols)
+                return e3, de + de_i, na + na_i, np_ + nprop_all[c]
 
-        zf = jnp.zeros((), jnp.float32)
-        zi = jnp.zeros((), jnp.int32)
-        ext3, de, n_acc, n_prop = jax.lax.fori_loop(
-            0, n_colors, color_body, (ext3, zf, zi, zi))
+            zf = jnp.zeros((), jnp.float32)
+            zi = jnp.zeros((), jnp.int32)
+            ext3, de, n_acc, n_prop = jax.lax.fori_loop(
+                0, n_colors, color_body, (ext3, zf, zi, zi))
 
         axis = jax.random.randint(k_axis, (), 0, cfg.dim)
         d = jax.random.uniform(k_dist, (),
@@ -960,16 +1383,17 @@ def run_sweeps_ring_impl(cfg: SimConfig, pot: Potential, state: SimState,
     return state, metrics
 
 
-@partial(jax.jit, static_argnums=(0, 1) + tuple(range(3, 14)))
+@partial(jax.jit, static_argnums=(0, 1) + tuple(range(3, 15)))
 def run_sweeps_ring(cfg: SimConfig, pot: Potential, state: SimState,
                     n_sweeps: int, tile_rows: int = 16, tile_cols: int = 128,
                     interpret: bool = False, neighbor_unroll: int = 1,
                     slot_group: int = 8, in_kernel_rng: bool = False,
                     ih_k: int = 0, shard_fold: int | None = None,
-                    pallas_shift: bool = True, frozen_cache: bool = False
+                    pallas_shift: bool = True, frozen_cache: bool = False,
+                    one_call: bool = False
                     ) -> tuple[SimState, "xla_sweep.SweepMetrics"]:
     """Jitted entry for the in-place ring engine (see run_sweeps_ring_impl)."""
     return run_sweeps_ring_impl(cfg, pot, state, n_sweeps, tile_rows,
                                 tile_cols, interpret, neighbor_unroll,
                                 slot_group, in_kernel_rng, ih_k, shard_fold,
-                                pallas_shift, frozen_cache)
+                                pallas_shift, frozen_cache, one_call)

@@ -166,6 +166,14 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
         pair_fn = None
     else:
         pair_fn = getattr(pot, "pair_energy_pl", pot.pair_energy)
+    # Binary-mixture mover hoist (round 5): the mover's species is fixed
+    # within a move, so the quadratic u-blends collapse to per-move planes
+    # + one fma in sj per pair slot (mixtures.pair_energy_mover_pl).  fp
+    # rounding differs from the unhoisted blend (dE-anchor gated, not
+    # bitwise) — overlap keeps the unhoisted blend for cross-engine
+    # hard-core bitwise parity.
+    hoist = (mixture and pair_energetic
+             and getattr(pot, "supports_mover_hoist", False))
 
     # Frozen-neighbor energy cache (round 4, VERDICT r3 #3): during a color
     # sub-step the 3^dim-1 neighbor cells are FROZEN, so each own slot's
@@ -219,11 +227,21 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
             # per-core stream: (substep key data, tile coordinates) — the
             # same (key, sweep, color, shard) tree as the host-Threefry path
             # selects the sequence; tiles decorrelate via the linear tile id
-            # folded into both seed words (Mosaic caps prng_seed at 2 values)
-            tid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+            # folded into both seed words (Mosaic caps prng_seed at 2 values).
+            # ``seed_ref`` may instead be a (s0, s1, tid) scalar tuple when
+            # the caller selects the substep seed itself (the single-call
+            # sweep kernel, whose grid carries the color-substep index) —
+            # tid must then reproduce this default so streams stay bitwise
+            # identical across engines.
+            if isinstance(seed_ref, tuple):
+                s0, s1, tid = seed_ref
+            else:
+                tid = (pl.program_id(0) * pl.num_programs(1)
+                       + pl.program_id(1))
+                s0, s1 = seed_ref[0, 0], seed_ref[0, 1]
             pltpu.prng_seed(
-                seed_ref[0, 0] + tid * jnp.int32(-1640531527),  # golden ratio
-                seed_ref[0, 1] ^ (tid + jnp.int32(0x3C6EF372)))
+                s0 + tid * jnp.int32(-1640531527),  # golden ratio
+                s1 ^ (tid + jnp.int32(0x3C6EF372)))
         occ = occ_ref[0]                      # [TR, TC] int32
         occf = occ.astype(jnp.float32)
         nonempty = occ > 0
@@ -284,16 +302,49 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     # (variance IH_K/12) instead of Box-Muller: Metropolis
                     # only requires a SYMMETRIC proposal, and adds beat 4
                     # transcendentals; bounded tails (+-sqrt(3 IH_K) sigma).
+                    #
+                    # Round 5: TWO 16-bit uniforms per hardware word — the
+                    # IH summands need no 24-bit resolution (each word w
+                    # maps to the exactly-symmetric (w + 0.5) * 2^-16, and
+                    # the integer partial sums are f32-exact up to K=64),
+                    # halving the prng_random_bits calls: 3D draws per
+                    # move drop 2 + 3K -> 2 + 3*ceil(K/2) (K=8: 26 -> 14).
+                    # Reading both halves of ONE generated word is plain
+                    # register arithmetic — unrelated to the round-3
+                    # multi-plane generation fault (one plane per call
+                    # stays the rule).  Not stream-compatible with earlier
+                    # rounds; gated statistically like every ik-RNG change
+                    # (scripts/validate_in_kernel_rng.py).
                     scale_ih = jnp.float32(step * math.sqrt(12.0 / IH_K))
                     for d in range(dim):
-                        parts = [draw() for _ in range(IH_K)]
+                        if ABLATE == "rng":
+                            parts = [jnp.full(occ.shape, 0.37 * 65536.0,
+                                              jnp.float32)
+                                     for _ in range(IH_K)]
+                        else:
+                            parts = []
+                            for _ in range((IH_K + 1) // 2):
+                                wbits = pltpu.prng_random_bits(occ.shape)
+                                u = jax.lax.bitcast_convert_type(
+                                    wbits, jnp.uint32)
+                                hi = jax.lax.shift_right_logical(
+                                    u, jnp.uint32(16))
+                                lo = jax.lax.bitwise_and(
+                                    u, jnp.uint32(0xFFFF))
+                                for v in (hi, lo):
+                                    parts.append(jax.lax.bitcast_convert_type(
+                                        v, jnp.int32).astype(jnp.float32))
+                            parts = parts[:IH_K]
                         while len(parts) > 1:  # pairwise tree sum
                             parts = [parts[i] + parts[i + 1]
                                      for i in range(0, len(parts) - 1, 2)
                                      ] + (parts[-1:] if len(parts) % 2
                                           else [])
-                        disp_m.append(scale_ih
-                                      * (parts[0] - jnp.float32(IH_K / 2)))
+                        # sum(w_i + 0.5)*2^-16 - K/2, folded into one fma
+                        disp_m.append(
+                            scale_ih * jnp.float32(1.0 / 65536.0) * parts[0]
+                            - scale_ih * jnp.float32(
+                                IH_K * (0.5 - 1.0 / 131072.0)))
                 else:
                     for d in range(dim):
                         disp_m.append(step * (2.0 * draw() - 1.0))
@@ -322,6 +373,14 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 old.append(v)
             sx = old[dim] if mixture else None
             old = old[:dim]
+            if mixture:
+                if hoist:
+                    peval = pot.pair_energy_mover_pl(sx)
+                else:
+                    def peval(r2, sj):
+                        return pair_s_fn(r2, sx[None], sj)
+            else:
+                peval = None
             if in_kernel_rng:
                 new = [old[d] + disp_m[d] for d in range(dim)]
             else:
@@ -377,8 +436,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                     r2n = s2 * r2n
                 if pair_energetic:
                     if xs_old is None:
-                        term = (pair_s_fn(r2n, sx[None], sj) if mixture
-                                else pair_fn(r2n))
+                        term = peval(r2n, sj) if mixture else pair_fn(r2n)
                     else:
                         r2o = xs_old[0] * xs_old[0]
                         for d in range(1, dim):
@@ -386,8 +444,7 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                         if use_scale:
                             r2o = s2 * r2o
                         if mixture:
-                            term = (pair_s_fn(r2n, sx[None], sj)
-                                    - pair_s_fn(r2o, sx[None], sj))
+                            term = peval(r2n, sj) - peval(r2o, sj)
                         else:
                             term = pair_fn(r2n) - pair_fn(r2o)
                     upd = de_parts[a] + jnp.where(valid, term, 0.0)
@@ -558,6 +615,12 @@ def _make_kernel(cfg: SimConfig, pot: Potential, n_k: int,
                 for j in range(nmax):
                     own_j = [out_ref[d * nmax + j] for d in range(dim)]
                     sx_j = out_ref[dim * nmax + j] if mixture else None
+                    if mixture:
+                        if hoist:
+                            pe_j = pot.pair_energy_mover_pl(sx_j)
+                        else:
+                            def pe_j(r2, sj, s=sx_j):
+                                return pair_s_fn(r2, s[None], sj)
                     acc = None
                     for j0, g in groups:
                         is_tail = g != G

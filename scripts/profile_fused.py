@@ -70,6 +70,19 @@ elif wl == "lj3d":
     pot = LennardJones(r_cut=2.5)
     state = init_state(cfg, positions=stratified_positions(cfg))
     tr, sg, un = 16, 2, 26
+elif wl == "ka3d":
+    from mcjax.models.mixtures import kob_andersen
+    from mcjax.ops.mixture import init_mixture_state
+    pot = kob_andersen()
+    n, rho = 1_000_000, 1.2
+    box = (n / rho) ** (1.0 / 3.0)
+    cps = int(box // pot.r_cut); cps -= cps % 2
+    cfg = SimConfig(dim=3, n_atoms=n, box_length=box, cells_per_side=cps,
+                    nmax=38, n_moves=n_m, proposal="gaussian",
+                    step_size=0.09, beta=1.0 / 0.8, seed=0)
+    spec_arr = (jnp.arange(n) % 5 == 4).astype(jnp.int32)
+    state = init_mixture_state(cfg, stratified_positions(cfg), spec_arr)
+    tr, sg, un = 0, 4, 26
 else:
     raise SystemExit(f"unknown workload {wl}")
 tr = spec.get("tile_rows") or tr

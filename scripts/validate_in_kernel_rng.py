@@ -75,14 +75,20 @@ def _acc_rate(m):
     return a / p, p
 
 
-def _run(cfg, pot, state, sweeps, in_kernel, fused, ih_k):
-    st, m = run_sweeps_pallas(cfg, pot, state, sweeps, 16, 128, False, False,
-                              2, 1, in_kernel, fused, ih_k)
+def _run(cfg, pot, state, sweeps, in_kernel, engine, ih_k):
+    if engine == "ring":
+        from mcjax.ops.pallas_ring import run_sweeps_ring
+        st, m = run_sweeps_ring(cfg, pot, state, sweeps, 16, 128, False,
+                                2, 1, in_kernel, ih_k)
+    else:
+        st, m = run_sweeps_pallas(cfg, pot, state, sweeps, 16, 128, False,
+                                  False, 2, 1, in_kernel,
+                                  engine == "fused", ih_k)
     _ = float(jnp.sum(m.delta_e))
     return st, m
 
 
-def hard_disk_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
+def hard_disk_case(g: Gate, engine: str, ih_k: int, quick: bool) -> None:
     n, phi = (65536 if quick else 262144), 0.5
     box = math.sqrt(n * math.pi / 4.0 / phi)
     cps = int(box // 2.0)
@@ -93,8 +99,8 @@ def hard_disk_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
     pot = HardSphere(1.0)
     st0 = init_state(cfg)
     sweeps = 40 if quick else 60
-    st_h, m_h = _run(cfg, pot, st0, sweeps, False, fused, ih_k)
-    st_k, m_k = _run(cfg, pot, st0, sweeps, True, fused, ih_k)
+    st_h, m_h = _run(cfg, pot, st0, sweeps, False, engine, ih_k)
+    st_k, m_k = _run(cfg, pot, st0, sweeps, True, engine, ih_k)
 
     r_h, p_h = _acc_rate(m_h)
     r_k, p_k = _acc_rate(m_k)
@@ -114,7 +120,7 @@ def hard_disk_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
             f"Z host {z_h:.3f} vs in-kernel {z_k:.3f}")
 
 
-def lj_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
+def lj_case(g: Gate, engine: str, ih_k: int, quick: bool) -> None:
     n, rho = (32768 if quick else 110592), 0.8
     box = (n / rho) ** (1.0 / 3.0)
     cps = int(box // 2.5)
@@ -141,8 +147,8 @@ def lj_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
     # all arms within the +-0.02 run-to-run noise band.
     sweeps = 60 if quick else 160
 
-    st_h, m_h = _run(cfg, pot, st0, sweeps, False, fused, ih_k)
-    st_k, m_k = _run(cfg, pot, st0, sweeps, True, fused, ih_k)
+    st_h, m_h = _run(cfg, pot, st0, sweeps, False, engine, ih_k)
+    st_k, m_k = _run(cfg, pot, st0, sweeps, True, engine, ih_k)
     # capacity first: an overflowed run drops particles, which breaks the
     # anchor identity below for reasons that have nothing to do with the RNG
     for tag, st in (("host", st_h), ("in-kernel", st_k)):
@@ -177,21 +183,31 @@ def lj_case(g: Gate, fused: bool, ih_k: int, quick: bool) -> None:
 
 
 def run_gate(ih_k: int = 0, fused: bool = True, quick: bool = False,
-             quiet: bool = False) -> dict:
+             quiet: bool = False, engine: str | None = None) -> dict:
     """Run the full statistical gate; returns a JSON-able summary dict.
 
-    ``ih_k=0`` means the library default (pallas_sweep.IH_K). ``quick``
-    shrinks systems/sweeps ~4x for the in-bench run (bench.py rng_gate) —
-    the z/anchor thresholds are sized for the quick run too.
+    ``engine`` selects the kernel path the gate exercises: "classic",
+    "fused", or "ring" — pass the engine that produced the number being
+    certified (VERDICT r4 item 4a: the 2D headline runs the RING engine,
+    so its gate must too).  ``engine=None`` falls back to the legacy
+    ``fused`` bool.  ``ih_k=0`` means the library default
+    (pallas_sweep.IH_K). ``quick`` shrinks systems/sweeps ~4x for the
+    in-bench run (bench.py rng_gate) — the z/anchor thresholds are sized
+    for the quick run too.
     """
     from mcjax.ops import pallas_sweep as _ps
 
+    if engine is None:
+        engine = "fused" if fused else "classic"
+    if engine not in ("classic", "fused", "ring"):
+        raise ValueError(f"unknown engine {engine!r}")
     eff_k = ih_k if ih_k else _ps.IH_K
-    tag = f"ih_k={eff_k} fused={fused}{' quick' if quick else ''}"
+    tag = f"ih_k={eff_k} engine={engine}{' quick' if quick else ''}"
     g = Gate(tag, quiet=quiet)
-    hard_disk_case(g, fused, ih_k, quick)
-    lj_case(g, fused, ih_k, quick)
-    return {"ok": g.ok, "ih_k": eff_k, "fused": fused, "quick": quick,
+    hard_disk_case(g, engine, ih_k, quick)
+    lj_case(g, engine, ih_k, quick)
+    return {"ok": g.ok, "ih_k": eff_k, "engine": engine,
+            "fused": engine == "fused", "quick": quick,
             "checks": g.checks, "failures": g.failures}
 
 
@@ -205,15 +221,33 @@ def main() -> int:
                          "production default (docs/PERF.md round 3 cont.)")
     ap.add_argument("--no-fused", dest="fused", action="store_false",
                     help="gate the classic per-substep Pallas engine")
+    ap.add_argument("--engine", choices=["classic", "fused", "ring"],
+                    default=None,
+                    help="kernel path to gate (overrides --fused/--no-fused;"
+                         " pass the engine that produced the number being"
+                         " certified)")
     ap.add_argument("--quick", action="store_true",
                     help="smaller systems/sweeps (the in-bench variant)")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the summary dict as JSON (the checked-in"
+                         " gate artifacts, e.g. docs/rng_gate_k8.json)")
     args = ap.parse_args()
 
-    res = run_gate(args.ih_k, args.fused, args.quick)
+    res = run_gate(args.ih_k, args.fused, args.quick, engine=args.engine)
     status = "PASS" if res["ok"] else "FAIL"
     print(f"{status}  rng gate summary: ih_k={res['ih_k']} "
-          f"fused={res['fused']} quick={res['quick']} "
+          f"engine={res['engine']} quick={res['quick']} "
           f"({res['checks']} checks, failures={res['failures']})")
+    if args.json_out:
+        import json
+
+        import jax as _jax
+        res_out = dict(res)
+        res_out["device"] = _jax.devices()[0].device_kind
+        res_out["jax"] = _jax.__version__
+        with open(args.json_out, "w") as f:
+            json.dump(res_out, f, indent=1, sort_keys=True)
+            f.write("\n")
     return 0 if res["ok"] else 1
 
 
