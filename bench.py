@@ -251,6 +251,43 @@ def ring_fused_bitwise_check(in_kernel_rng: bool = True) -> None:
           file=sys.stderr)
 
 
+def onecall_bitwise_check(in_kernel_rng: bool = True) -> None:
+    """One-shot compiled-TPU probe: the single-call sweep (all color
+    sub-steps in ONE pallas_call, ring_sweep_onecall) is BITWISE the 4-call
+    ring engine in both RNG modes.  This is the gate that MUST run on
+    hardware: the one-call kernel reads earlier sub-steps' writes through
+    the aliased ring buffer, and interpret mode emulates the alias with
+    separate buffers (reads through the input ref see stale data — the
+    round-5 near-miss found by the CPU bitwise gates), so only the real
+    donated-buffer semantics prove the production path."""
+    import numpy as np
+
+    from mcjax.core.config import SimConfig
+    from mcjax.core.state import init_state
+    from mcjax.models.potentials import HardSphere
+    from mcjax.ops.pallas_ring import run_sweeps_ring
+
+    # cps=64 / tile_rows=8 satisfies the mirror geometry (padded == P)
+    cfg = SimConfig(dim=2, n_atoms=4000, box_length=128.0, cells_per_side=64,
+                    nmax=10, n_moves=4, proposal="uniform", step_size=0.25,
+                    beta=1.0, seed=7)
+    pot = HardSphere(1.0)
+    st = init_state(cfg)
+    sweeps, tr = 5, 8
+    st_4, m_4 = run_sweeps_ring(cfg, pot, st, sweeps, tr, 128, False, 1, 8,
+                                in_kernel_rng, 0, None, True, False, False)
+    st_1, m_1 = run_sweeps_ring(cfg, pot, st, sweeps, tr, 128, False, 1, 8,
+                                in_kernel_rng, 0, None, True, False, True)
+    assert int(jnp.sum(st_1.occ)) == cfg.n_atoms, "one-call lost particles"
+    np.testing.assert_array_equal(np.asarray(st_4.pos), np.asarray(st_1.pos))
+    np.testing.assert_array_equal(np.asarray(st_4.occ), np.asarray(st_1.occ))
+    np.testing.assert_array_equal(np.asarray(m_4.accepted),
+                                  np.asarray(m_1.accepted))
+    print("# one-call sweep check: compiled TPU, "
+          f"in_kernel_rng={in_kernel_rng}, bitwise == 4-call ring",
+          file=sys.stderr)
+
+
 def sharded_ring_check(in_kernel_rng: bool = True) -> None:
     """Compile + run the SHARDED RING engine (the 2D flagship under the
     mesh, parallel/ring.py) on a REAL 1-device TPU mesh (interpret=False,
@@ -666,7 +703,14 @@ def main() -> None:
             engine = "xla"
 
     if engine == "pallas" and args.ring:
-        from mcjax.ops.pallas_ring import run_sweeps_ring
+        from mcjax.ops.pallas_ring import _mirror_in_kernel, run_sweeps_ring
+
+        one_call = args.one_call
+        if one_call is None:
+            # round-5 measured winner when the mirror geometry holds (the
+            # production 1M point does); falls back automatically on odd
+            # geometries where the single-call sweep cannot mirror aprons
+            one_call = _mirror_in_kernel(cfg, args.tile_rows or 32, 128)
 
         def runner(cfg, pot, state, sweeps):
             return run_sweeps_ring(cfg, pot, state, sweeps,
@@ -674,7 +718,7 @@ def main() -> None:
                                    args.neighbor_unroll, args.slot_group,
                                    args.in_kernel_rng, args.ih_k, None,
                                    not args.ring_xla_shift,
-                                   bool(args.frozen_cache))
+                                   bool(args.frozen_cache), one_call)
     elif engine == "pallas":
         from mcjax.ops.pallas_sweep import run_sweeps_pallas
 
@@ -728,6 +772,8 @@ def main() -> None:
             # hardware, single-chip vs fused AND sharded vs single-chip
             ring_fused_bitwise_check(in_kernel_rng=args.in_kernel_rng)
             sharded_ring_check(in_kernel_rng=args.in_kernel_rng)
+            if one_call:
+                onecall_bitwise_check(in_kernel_rng=args.in_kernel_rng)
 
 
 if __name__ == "__main__":

@@ -664,6 +664,16 @@ def ring_sweep_onecall(cfg: SimConfig, pot: Potential,
         t = pl.program_id(1)
         nt = pl.num_programs(1)
 
+        # ALL position-state reads go through the ALIASED OUTPUT ref: on
+        # TPU input and output are the same donated HBM buffer, but in
+        # interpret mode they are separate and only the output (which is
+        # initialized from the aliased input) observes this call's earlier
+        # sub-step writes — reading extp_ref there silently produced
+        # sweep-START neighbor data, a near-miss Jacobi sweep (probe +
+        # finding recorded in docs/PERF.md round 5).  extp_ref stays
+        # solely as the alias source.
+        del extp_ref
+
         # active color: program-id compares x static-slot SMEM loads only
         act = []
         for cc in range(C):
@@ -678,7 +688,7 @@ def ring_sweep_onecall(cfg: SimConfig, pot: Potential,
         def dma_pair(cc, tt, s, u):
             src = useds[cc][u]
             return (pltpu.make_async_copy(
-                        extp_ref.at[src, :, pl.ds(tt * TR, LR), :],
+                        out_ext_ref.at[src, :, pl.ds(tt * TR, LR), :],
                         sup_pos.at[s, u], sems.at[s, 2 * u]),
                     pltpu.make_async_copy(
                         exto_ref.at[src, pl.ds(tt * TR, LR), :],
@@ -710,7 +720,7 @@ def ring_sweep_onecall(cfg: SimConfig, pot: Potential,
             def _(cc=cc):
                 # own rows / occupancy / lower bounds at the STATIC color
                 cp_own = pltpu.make_async_copy(
-                    extp_ref.at[cc, :, pl.ds(r0 + t * TR, TR), :],
+                    out_ext_ref.at[cc, :, pl.ds(r0 + t * TR, TR), :],
                     own_s, own_sem.at[0])
                 cp_occ = pltpu.make_async_copy(
                     exto_ref.at[cc, pl.ds(r0 + t * TR, TR), :],
