@@ -519,9 +519,16 @@ def _shift_rebin_axis(cfg: SimConfig, axis: int, pos: jax.Array,
             [slot < own_o[None], slot < don_o[None]], axis=0)  # [2nmax, *bs]
 
         # Does candidate belong to this cell along `axis` after the shift?
+        # Binning MULTIPLIES by the f32 reciprocal instead of dividing:
+        # Mosaic and XLA-TPU lower f32 division differently (boundary
+        # values round to different cells — the round-5 micro-probe found
+        # 158/756 near-boundary mismatches, docs/PERF.md), while mul/add/
+        # floor are exactly rounded on both, so every engine's shift stays
+        # bitwise identical ON HARDWARE, not just in interpret mode.
         xk = cand[axis]                                # [2nmax, *bs]
+        inv_w = jnp.float32(1.0 / w)
         cell_k = jnp.floor(
-            (xk + cfg.box_length / 2.0) / w).astype(jnp.int32)
+            (xk + cfg.box_length / 2.0) * inv_w).astype(jnp.int32)
         cell_k = jnp.clip(cell_k, 0, cfg.cells_per_side - 1)
         bk = jax.lax.broadcasted_iota(jnp.int32, bs_local, axis)
         if block_offset is not None:
@@ -598,8 +605,10 @@ def _shift_rebin_axis_flat(cfg: SimConfig, axis: int, pos: jax.Array,
         cand_valid = jnp.concatenate(
             [slot < own_o[None], slot < don_o[None]], axis=0)
         xk = cand[axis]                                    # [2nmax, P]
+        # reciprocal-multiply binning: see the packed merge's comment
+        inv_w = jnp.float32(1.0 / w)
         cell_k = jnp.floor(
-            (xk + cfg.box_length / 2.0) / w).astype(jnp.int32)
+            (xk + cfg.box_length / 2.0) * inv_w).astype(jnp.int32)
         cell_k = jnp.clip(cell_k, 0, cfg.cells_per_side - 1)
         my_k = (2 * bk + o[axis])[None]
         recv_k = jnp.mod(my_k - donor_dir, cfg.cells_per_side)

@@ -1161,7 +1161,12 @@ def ring_shift(cfg: SimConfig, ext3: jax.Array, exto3: jax.Array,
         run = jnp.zeros((TR, TC), jnp.int32)
         slot_hits = []
         for j in range(2 * nmax):
-            ck = jnp.floor((xk_s[j] + half) / jnp.float32(w_cell)
+            # reciprocal-multiply binning (NOT division): Mosaic and
+            # XLA-TPU round f32 divides differently at cell boundaries —
+            # the round-5 ring-vs-fused TPU probe traced a sweep-3 accept
+            # divergence to exactly this (docs/PERF.md round 5); mul/add/
+            # floor are exactly rounded on both backends
+            ck = jnp.floor((xk_s[j] + half) * jnp.float32(1.0 / w_cell)
                            ).astype(jnp.int32)
             ck = jnp.clip(ck, 0, cps - 1)
             if j < nmax:

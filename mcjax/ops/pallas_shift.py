@@ -79,7 +79,11 @@ def _make_shift_kernel(cfg: SimConfig, axis: int):
                 valid = j < occ
                 xs = [shifted(src_ref[dd * nmax + j], dd == axis)
                       for dd in range(dim)]
-                ck = jnp.floor((xs[axis] + half) / w).astype(jnp.int32)
+                # reciprocal-multiply binning (NOT division): Mosaic and
+                # XLA-TPU round f32 divides differently at cell boundaries
+                # (round-5 micro-probe); mul is exactly rounded on both
+                ck = jnp.floor((xs[axis] + half)
+                               * jnp.float32(1.0 / w)).astype(jnp.int32)
                 ck = jnp.clip(ck, 0, cps - 1)
                 if is_own:
                     # exhaustive claim: owner keeps unless the receiver's

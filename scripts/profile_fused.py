@@ -101,7 +101,8 @@ else:
     def run(st):
         st, m = run_sweeps_pallas(cfg, pot, st, sweeps, tr, 128, False,
                                   False, un, sg, True, True,
-                                  spec.get("ih_k", 0))
+                                  spec.get("ih_k", 0),
+                                  spec.get("frozen", False))
         return st, m
 
 t0 = time.perf_counter()
@@ -132,7 +133,11 @@ VARIANTS = {
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", choices=["hd2d", "lj3d"], default="hd2d")
+    ap.add_argument("--workload", choices=["hd2d", "lj3d", "ka3d"],
+                    default="hd2d")
+    ap.add_argument("--frozen-cache", action="store_true",
+                    help="classic/fused engine: ablate the shipped "
+                         "frozen-neighbor-cache configuration")
     ap.add_argument("--moves", type=int, default=8)
     ap.add_argument("--sweeps", type=int, default=100)
     ap.add_argument("--tile-rows", type=int, default=0)
@@ -160,7 +165,8 @@ def main() -> int:
         spec.update(workload=args.workload, sweeps=args.sweeps,
                     tile_rows=args.tile_rows, slot_group=args.slot_group,
                     unroll=args.unroll, ih_k=args.ih_k,
-                    engine=args.engine, xla_shift=args.xla_shift)
+                    engine=args.engine, xla_shift=args.xla_shift,
+                    frozen=args.frozen_cache)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         p = subprocess.run([sys.executable, "-c", CHILD, json.dumps(spec)],
