@@ -629,13 +629,16 @@ def main() -> None:
         # the timed region; withdrawn in docs/PERF.md's round-4 correction.
         # The corrected ka3d frozen-cache measurement is in the round-5
         # PERF table.)  2D hard disks have no pair energy (flag is a
-        # no-op).  The precompute costs ~nmax/n_M of the saved work, so it
-        # only pays when n_M >> nmax — gate the default on the actual
-        # operating point.
-        args.frozen_cache = (args.workload in ("lj3d", "ka3d")
-                             and (args.moves or 60)
-                             >= 2 * (args.nmax or (38 if args.workload
-                                                   == "ka3d" else 24)))
+        # no-op).  The precompute costs ~nmax/n_M of the saved work; the
+        # n_M >= 2*nmax heuristic gates lj3d, but ka3d measured the cache
+        # a win even at n_M=60 < 2*nmax (7.2e7 vs 6.88e7 at n38, +9% at
+        # n32, docs/PERF.md round 5) — the mixture's pair term is pricier
+        # than the heuristic's single-species cost model, so ka3d
+        # defaults the cache ON unconditionally.
+        args.frozen_cache = (args.workload == "ka3d"
+                             or (args.workload == "lj3d"
+                                 and (args.moves or 60)
+                                 >= 2 * (args.nmax or 24)))
     if args.ih_k:
         from mcjax.ops import pallas_sweep as _ps
         _ps.IH_K = args.ih_k  # keep module default consistent (aux paths)
@@ -681,9 +684,15 @@ def main() -> None:
         return
     if args.workload == "ka3d":
         n = args.n if args.n != 1_048_576 else 1_000_000
-        emit(bench_ka3d(n, min(args.sweeps, 30), args.moves or 60,
-                        args.nmax or 38, args.tile_rows,
-                        args.slot_group or 4,
+        # nmax=34 is capacity-honest (1000-sweep soak: max occupancy
+        # peaks 30-31, no overflow — scripts/soak_ka3d.py --nmax 34) and
+        # sg2 beat sg1/sg4 in the round-5 one-process scan
+        # (scripts/scan_ka3d.py; docs/PERF.md round 5).  The 100-sweep
+        # cap (vs 30 elsewhere) amortizes the ~30-60 ms tunnel dispatch
+        # latency that costs a 0.85 s timed region 3-7%.
+        emit(bench_ka3d(n, min(args.sweeps, 100), args.moves or 60,
+                        args.nmax or 34, args.tile_rows,
+                        args.slot_group or 2,
                         args.fused, args.in_kernel_rng,
                         args.neighbor_unroll, args.ih_k,
                         bool(args.frozen_cache)))
